@@ -1,0 +1,250 @@
+"""Static device-resident index tables, cached per (rank, dim).
+
+The reference builds per-(rank,dim) index→position dictionaries lazily on the
+host (``PosRegistry``, symtensor/permcls_symtensor.py:422) and walks Python
+generators in hot paths. On TPU everything combinatorial must be *static*:
+either closed-form arithmetic executed in jnp (positions), or precomputed
+int32 arrays living in HBM (gather maps). This module owns those arrays.
+
+All tables are cached by (rank, dim) — identical Python object identity on
+reuse, so jit tracing does not recompile.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from . import combinatorics as comb
+
+
+def _check_table(entries: int, what: str) -> None:
+    if entries > config.max_table_entries:
+        raise MemoryError(
+            f"static table '{what}' would need {entries:,} entries "
+            f"(> config.max_table_entries = {config.max_table_entries:,}); "
+            "use the streaming/blocked path or raise the limit"
+        )
+
+
+def _i32(x: np.ndarray) -> jnp.ndarray:
+    assert np.all(x >= 0)
+    if x.size and int(x.max()) >= 2**31:
+        raise OverflowError("index table exceeds int32 range")
+    return jnp.asarray(x.astype(np.int32))
+
+
+class Tables:
+    """Lazily-built static tables for one (rank, dim). Host layout data is
+    always available; device arrays are built on first use and memoized."""
+
+    def __init__(self, rank: int, dim: int):
+        self.rank = rank
+        self.dim = dim
+        self.n = comb.indep_size(rank, dim)
+        self.layout = comb.gflat_layout(rank, dim) if rank >= 2 else None
+        self._cache: dict = {}
+
+    # ------------------------------------------------------------------ util
+
+    def _memo(self, key, builder):
+        if key not in self._cache:
+            self._cache[key] = builder()
+        return self._cache[key]
+
+    # --------------------------------------------------------------- scalars
+
+    @property
+    def perm_classes(self) -> Tuple[comb.SigmaClass, ...]:
+        """σ-classes realizable at this dim (classes needing more distinct
+        values than dim has are empty and excluded, matching the reference's
+        size-0 classes being enumerable but empty)."""
+        return comb.perm_classes(self.rank)
+
+    # ------------------------------------------------------- device layout
+
+    @property
+    def pascal(self) -> jnp.ndarray:
+        """Pascal triangle C(n, k) for n ≤ dim+rank+1, k ≤ rank+1, float-free
+        int32 device table used by the traced position formula."""
+
+        def build():
+            N = self.dim + self.rank + 2
+            K = self.rank + 2
+            p = np.zeros((N, K), dtype=np.int64)
+            p[:, 0] = 1
+            for nn in range(1, N):
+                for kk in range(1, K):
+                    p[nn, kk] = p[nn - 1, kk - 1] + p[nn - 1, kk]
+            return _i32(np.minimum(p, 2**31 - 1))
+
+        return self._memo("pascal", build)
+
+    @property
+    def group_off(self) -> jnp.ndarray:
+        return self._memo("group_off", lambda: _i32(self.layout.group_off))
+
+    @property
+    def group_T(self) -> jnp.ndarray:
+        return self._memo("group_T", lambda: _i32(self.layout.T))
+
+    @property
+    def tri_off(self) -> jnp.ndarray:
+        return self._memo("tri_off", lambda: _i32(self.layout.tri_off))
+
+    # ------------------------------------------------------ traced position
+
+    def position_jnp(self, sorted_idx: jnp.ndarray) -> jnp.ndarray:
+        """Traced gflat position for ascending multi-indices.
+
+        sorted_idx: (..., rank) int array → (...,) int32. Pure arithmetic +
+        tiny Pascal gathers; works under jit/vmap (replaces the reference's
+        host-side dict lookup, symtensor/permcls_symtensor.py:448).
+        """
+        r, d = self.rank, self.dim
+        idx = sorted_idx.astype(jnp.int32)
+        if r == 1:
+            return idx[..., 0]
+        if r == 2:
+            a, b = idx[..., 0], idx[..., 1]
+            return a * (2 * d - a + 1) // 2 + (b - a)
+        j = idx[..., r - 3]
+        head = idx[..., : r - 3]
+        # colex rank: Σ_t C(h_t + t, t+1)
+        hrank = jnp.zeros(idx.shape[:-1], dtype=jnp.int32)
+        for t in range(r - 3):
+            hrank = hrank + self.pascal[head[..., t] + t, t + 1]
+        a = idx[..., r - 2] - j
+        b = idx[..., r - 1] - j
+        side = d - j
+        tri = a * (2 * side - a + 1) // 2 + (b - a)
+        return self.group_off[j] + hrank * self.group_T[j] + tri
+
+    # ------------------------------------------------------------ big tables
+
+    @property
+    def rep(self) -> jnp.ndarray:
+        """(n, rank) int32 — representative (ascending) multiset per packed
+        position, in storage order."""
+
+        def build():
+            _check_table(self.n * max(self.rank, 1), "rep_indices")
+            if self.rank == 0:
+                return jnp.zeros((1, 0), dtype=jnp.int32)
+            if self.rank == 1:
+                return _i32(np.arange(self.dim, dtype=np.int64)[:, None])
+            return _i32(self.layout.rep_indices())
+
+        return self._memo("rep", build)
+
+    def rep_np(self) -> np.ndarray:
+        """Host copy of `rep` (int64)."""
+
+        def build():
+            _check_table(self.n * max(self.rank, 1), "rep_indices")
+            if self.rank == 0:
+                return np.zeros((1, 0), dtype=np.int64)
+            if self.rank == 1:
+                return np.arange(self.dim, dtype=np.int64)[:, None]
+            return self.layout.rep_indices()
+
+        return self._memo("rep_np", build)
+
+    @property
+    def multiplicity(self) -> jnp.ndarray:
+        """(n,) float32 — γ per packed position (r!/∏counts!)."""
+
+        def build():
+            gamma = comb.row_multiplicities(self.rep_np())
+            return jnp.asarray(gamma.astype(np.float32))
+
+        return self._memo("multiplicity", build)
+
+    @property
+    def class_ids_np(self) -> np.ndarray:
+        """(n,) host int64 — σ-class id (index into perm_classes) per position."""
+        return self._memo(
+            "class_ids_np",
+            lambda: comb.class_id_of_rows(self.rep_np(), self.rank)
+            if self.rank > 0
+            else np.zeros(1, dtype=np.int64),
+        )
+
+    def class_positions_np(self, class_counts: comb.SigmaClass) -> np.ndarray:
+        """Host int64 positions (in storage order) of one σ-class."""
+        cid = self.perm_classes.index(tuple(class_counts))
+        key = ("class_pos", cid)
+        return self._memo(
+            key, lambda: np.nonzero(self.class_ids_np == cid)[0]
+        )
+
+    def class_positions(self, class_counts: comb.SigmaClass) -> jnp.ndarray:
+        cid = self.perm_classes.index(tuple(class_counts))
+        return self._memo(
+            ("class_pos_dev", cid),
+            lambda: _i32(self.class_positions_np(class_counts)),
+        )
+
+    @property
+    def dense_gather(self) -> jnp.ndarray:
+        """(dim**rank,) int32 — packed position of sort(I) for every dense
+        index I in C-order. todense() is a single gather through this."""
+
+        def build():
+            dn = self.dim**self.rank
+            if dn > config.max_dense_elements:
+                raise MemoryError(
+                    f"dense size {dn:,} exceeds config.max_dense_elements"
+                )
+            _check_table(dn, "dense_gather")
+            if self.rank == 0:
+                return jnp.zeros((1,), dtype=jnp.int32)
+            # Build on host: all dense indices, sorted rows → positions.
+            shape = (self.dim,) * self.rank
+            grids = np.indices(shape).reshape(self.rank, -1).T  # (d^r, r)
+            grids.sort(axis=1)
+            if self.rank == 1:
+                pos = grids[:, 0]
+            else:
+                pos = self.layout.position_array(grids)
+            return _i32(pos)
+
+        return self._memo("dense_gather", build)
+
+    # ----------------------------------------------- monomial recursion data
+
+    def mono_tables(self, size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(parent, maxel) int32 device tables for building the colex
+        monomial vector of multisets of `size` over {0..dim-1}."""
+
+        def build():
+            par, mx = comb.mono_recursion_tables(self.dim, size)
+            _check_table(len(par), f"mono_tables({size})")
+            return (_i32(par), _i32(mx))
+
+        return self._memo(("mono", size), build)
+
+    @property
+    def tri_pairs(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(a_idx, b_idx) int32 of the full d-triangle in row-major order —
+        the triangle monomial vector is x[a_idx] * x[b_idx]."""
+
+        def build():
+            d = self.dim
+            a = np.concatenate([np.full(d - i, i, np.int64) for i in range(d)])
+            b = np.concatenate([np.arange(i, d, dtype=np.int64) for i in range(d)])
+            return (_i32(a), _i32(b))
+
+        return self._memo("tri_pairs", build)
+
+
+@lru_cache(maxsize=None)
+def tables(rank: int, dim: int) -> Tables:
+    if rank < 0 or dim < 1:
+        raise ValueError(f"invalid (rank, dim) = ({rank}, {dim})")
+    return Tables(rank, dim)

@@ -1,0 +1,81 @@
+"""Device-table tests: traced position formula vs host formula, dense gather
+round-trip structure, class partitions, monomial tables on device."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from symtensor_tpu.utils import combinatorics as comb
+from symtensor_tpu.utils import tables as tb
+
+
+@pytest.mark.parametrize("rank,dim", [(2, 7), (3, 5), (4, 4), (5, 3), (6, 3)])
+def test_position_jnp_matches_host(rank, dim):
+    t = tb.tables(rank, dim)
+    rep = t.rep_np()
+    pos = np.asarray(t.position_jnp(jnp.asarray(rep)))
+    assert np.array_equal(pos, np.arange(t.n))
+    # works under jit and vmap
+    f = jax.jit(lambda i: t.position_jnp(i))
+    assert int(f(jnp.asarray(rep[3]))) == 3
+
+
+def test_dense_gather_structure():
+    t = tb.tables(3, 4)
+    g = np.asarray(t.dense_gather).reshape(4, 4, 4)
+    # symmetric positions agree
+    for i, j, k in itertools.product(range(4), repeat=3):
+        assert g[i, j, k] == g[k, j, i] == g[j, i, k]
+    # gather of rep positions is the identity
+    rep = t.rep_np()
+    flat = np.ravel_multi_index(tuple(rep.T), (4, 4, 4))
+    assert np.array_equal(np.asarray(t.dense_gather)[flat], np.arange(t.n))
+
+
+def test_multiplicity_and_classes():
+    t = tb.tables(4, 5)
+    gam = np.asarray(t.multiplicity)
+    assert gam.sum() == 5**4
+    total = 0
+    for c in t.perm_classes:
+        p = t.class_positions_np(c)
+        assert len(p) == comb.class_size(c, 5)
+        total += len(p)
+        # all members of the class have the class's multiplicity
+        if len(p):
+            assert np.all(gam[p] == comb.class_multiplicity(c))
+    assert total == t.n
+
+
+def test_mono_tables_device():
+    t = tb.tables(6, 5)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=5))
+    mono = jnp.ones((1,), dtype=x.dtype)
+    for k in range(1, 4):
+        par, mx = t.mono_tables(k)
+        mono = mono[par] * x[mx]
+    expected = np.array(
+        [np.prod(np.asarray(x)[list(m)]) for m in comb.multisets_colex(5, 3)]
+    )
+    np.testing.assert_allclose(np.asarray(mono), expected, rtol=1e-12)
+
+
+def test_tri_pairs():
+    t = tb.tables(4, 6)
+    a, b = t.tri_pairs
+    a, b = np.asarray(a), np.asarray(b)
+    assert len(a) == comb.tri_size(6)
+    assert np.all(a <= b)
+    # row-major order with rows of decreasing length
+    lay = comb.gflat_layout(2, 6)
+    pos = lay.position_array(np.stack([a, b], axis=1))
+    assert np.array_equal(pos, np.arange(len(a)))
+
+
+def test_table_cache_identity():
+    assert tb.tables(3, 5) is tb.tables(3, 5)
+    t = tb.tables(3, 5)
+    assert t.rep is t.rep  # memoized device array
