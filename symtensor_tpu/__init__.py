@@ -1,0 +1,33 @@
+"""symtensor-tpu: TPU-native symmetric tensors (JAX/XLA/Pallas).
+
+A from-scratch rebuild of the capabilities of the `symtensor` reference
+library (compressed symmetric-tensor storage + symmetrized linear algebra),
+designed JAX-first: tensors are immutable registered pytrees with static
+combinatorial index tables; ops are explicit, compressed-domain, and
+jit/vmap/grad-compatible. See SURVEY.md for the reference analysis.
+"""
+
+from . import config as _config_module
+from .config import config
+from .core import (
+    DenseSymmetricTensor,
+    FlatSymmetricTensor,
+    PermClsSymmetricTensor,
+    SymmetricTensor,
+)
+from . import ops
+from . import ops as symalg
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "config",
+    "DenseSymmetricTensor",
+    "FlatSymmetricTensor",
+    "PermClsSymmetricTensor",
+    "SymmetricTensor",
+    "ops",
+    "symalg",
+    "utils",
+]

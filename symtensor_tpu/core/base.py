@@ -1,0 +1,391 @@
+"""Abstract base for symmetric tensors, JAX-first.
+
+Design deltas vs the reference's ``SymmetricTensor`` ABC
+(/root/reference/symtensor/base.py:330):
+
+- Tensors are **immutable registered pytrees**: leaves are ``jax.Array``s,
+  aux data is the static (rank, dim, format) signature. ``jit``/``vmap``/
+  ``grad`` work through them for free (replaces the torch backend's
+  detach/clone story, torch_symtensor.py:202-224).
+- No NEP-13/18 duck-array dispatch (base.py:1048-1143). Arithmetic goes
+  through normal dunders + an explicit ``symtensor_tpu.symalg`` namespace.
+- Mutation is functional: ``A.at['iij'].set(v)`` / ``A.at[1,2,2].set(v)``
+  return new tensors (reference ``__setitem__`` semantics, including
+  "assigning one index updates its whole index class",
+  testing/api.py:285-301, are honored by the tests).
+- Iterators (``indep_iter`` etc., base.py:910-1011) are host-side
+  conveniences; hot paths use vectorized index tables instead.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Any, Iterator, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..utils import combinatorics as comb
+from ..utils.tables import Tables, tables
+
+Key = Union[str, int, Tuple[int, ...], slice]
+
+
+def default_dtype():
+    return jnp.dtype(config.default_dtype)
+
+
+class SymmetricTensor:
+    """Common API of all storage formats. Not an ABC in the registry sense —
+    concrete formats subclass this and register themselves as pytrees."""
+
+    # Subclasses set this to a short format name used in repr/serialization.
+    format: str = "abstract"
+
+    rank: int
+    dim: int
+
+    # ------------------------------------------------------------ structure
+
+    @property
+    def tables(self) -> Tables:
+        return tables(self.rank, self.dim)
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return (self.dim,) * self.rank
+
+    @property
+    def ndim(self) -> int:
+        return self.rank
+
+    @property
+    def dense_size(self) -> int:
+        return self.dim**self.rank
+
+    @property
+    def indep_size(self) -> int:
+        """Number of independent components C(d+r−1, r)
+        (reference base.py:833)."""
+        return comb.indep_size(self.rank, self.dim)
+
+    @property
+    def perm_classes(self) -> Tuple[str, ...]:
+        """σ-class labels, largest multiplicity first ('iii', 'iij', …)."""
+        return tuple(comb.class_label(c) for c in comb.perm_classes(self.rank))
+
+    @property
+    def size(self) -> int:
+        """Number of stored elements (format-specific; reference
+        base.py:805)."""
+        raise NotImplementedError
+
+    @property
+    def dtype(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- content
+
+    def todense(self) -> jnp.ndarray:
+        """Materialize the full d^r dense array. Guarded by
+        config.max_dense_elements."""
+        raise NotImplementedError
+
+    def toflat(self) -> "FlatSymmetricTensor":  # noqa: F821
+        raise NotImplementedError
+
+    def topermcls(self) -> "PermClsSymmetricTensor":  # noqa: F821
+        from .permcls import PermClsSymmetricTensor
+
+        flat = self.toflat()
+        return PermClsSymmetricTensor.from_flat(flat)
+
+    def astype(self, dtype) -> "SymmetricTensor":
+        raise NotImplementedError
+
+    def copy(self) -> "SymmetricTensor":
+        """Tensors are immutable; copy is the identity (kept for reference
+        API parity, base.py:761)."""
+        return self
+
+    def transpose(self, *axes) -> "SymmetricTensor":
+        """No-op: symmetric tensors are invariant under axis permutation
+        (reference base.py:1043)."""
+        return self
+
+    @property
+    def T(self) -> "SymmetricTensor":
+        return self
+
+    # ----------------------------------------------------------- indexing
+
+    def class_values(self, cls) -> jnp.ndarray:
+        """Values of one σ-class as a 1-D array in storage order (reference
+        ``A['iij']``, permcls_symtensor.py:730)."""
+        raise NotImplementedError
+
+    def element(self, idx: Sequence[int]) -> jnp.ndarray:
+        """One element by full multi-index; traced indices allowed."""
+        raise NotImplementedError
+
+    def _partial(self, idx: Tuple[int, ...]) -> "SymmetricTensor":
+        """Partial indexing by k < rank leading indices → rank−k tensor."""
+        raise NotImplementedError
+
+    def __getitem__(self, key: Key):
+        if isinstance(key, str):
+            return self.class_values(key)
+        if isinstance(key, (int, np.integer)) or (
+            hasattr(key, "ndim") and getattr(key, "ndim", None) == 0
+        ):
+            key = (key,)
+        if isinstance(key, tuple):
+            if len(key) > self.rank:
+                raise IndexError(
+                    f"too many indices ({len(key)}) for rank {self.rank}"
+                )
+            if any(isinstance(k, slice) for k in key):
+                # trailing full slices are allowed and ignored: A[i, :, :]
+                nslice = sum(1 for k in key if isinstance(k, slice))
+                if any(
+                    not isinstance(k, slice) for k in key[len(key) - nslice :]
+                ) or any(
+                    isinstance(k, slice) and k != slice(None) for k in key
+                ):
+                    raise IndexError(
+                        "only trailing full slices are supported in indexing"
+                    )
+                key = key[: len(key) - nslice]
+            if len(key) == self.rank:
+                return self.element(key)
+            return self._partial(key)
+        if key is Ellipsis or (isinstance(key, slice) and key == slice(None)):
+            return self
+        raise IndexError(f"unsupported index {key!r}")
+
+    @property
+    def at(self) -> "_AtHelper":
+        """Functional update helper: ``A.at['iij'].set(v)``,
+        ``A.at[1,2,2].set(v)`` (sets the whole index class, matching
+        reference __setitem__ semantics), ``.add(v)`` likewise."""
+        return _AtHelper(self)
+
+    def set_class(self, cls, value) -> "SymmetricTensor":
+        raise NotImplementedError
+
+    def set_element(self, idx: Sequence[int], value) -> "SymmetricTensor":
+        raise NotImplementedError
+
+    def add_class(self, cls, value) -> "SymmetricTensor":
+        c = comb.as_class_counts(cls)
+        return self.set_class(c, self.class_values(c) + jnp.asarray(value))
+
+    def add_element(self, idx, value) -> "SymmetricTensor":
+        return self.set_element(idx, self.element(idx) + jnp.asarray(value))
+
+    # --------------------------------------------------------- iterators
+    # Host-side conveniences for reference API parity (base.py:888-1011).
+    # They materialize small index tables on the host; never use in hot code.
+
+    def indep_iter(self) -> Iterator:
+        """Values of independent components, storage order."""
+        vals = np.asarray(self.toflat().data)
+        return iter(vals)
+
+    def indep_iter_repindex(self) -> Iterator[Tuple[int, ...]]:
+        """Representative (ascending) index of each independent component."""
+        rep = self.tables.rep_np()
+        return (tuple(int(v) for v in row) for row in rep)
+
+    def indep_iter_index(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Advanced index (all permutations) of each independent component
+        (reference base.py:919)."""
+        for rep in self.indep_iter_repindex():
+            perms = np.array(list(comb.distinct_permutations(rep)))
+            yield tuple(perms.T)
+
+    def permcls_indep_iter(self, cls=None) -> Iterator:
+        """Values of independent components, optionally restricted to one
+        σ-class, storage order."""
+        vals = np.asarray(self.toflat().data)
+        if cls is None:
+            for c in comb.perm_classes(self.rank):
+                yield from vals[self.tables.class_positions_np(c)]
+        else:
+            yield from vals[
+                self.tables.class_positions_np(comb.as_class_counts(cls))
+            ]
+
+    def permcls_indep_iter_repindex(self, cls=None) -> Iterator[Tuple[int, ...]]:
+        rep = self.tables.rep_np()
+        if cls is None:
+            for c in comb.perm_classes(self.rank):
+                for row in rep[self.tables.class_positions_np(c)]:
+                    yield tuple(int(v) for v in row)
+        else:
+            for row in rep[
+                self.tables.class_positions_np(comb.as_class_counts(cls))
+            ]:
+                yield tuple(int(v) for v in row)
+
+    def permcls_multiplicity_iter(self) -> Iterator[int]:
+        """γ per independent component, storage order (base.py:1011)."""
+        gamma = np.asarray(self.tables.multiplicity)
+        for c in comb.perm_classes(self.rank):
+            for g in gamma[self.tables.class_positions_np(c)]:
+                yield int(g)
+
+    @property
+    def flat(self) -> Iterator:
+        """All d^r values in dense C-order (reference base.py:888). Host
+        generator over the densified array — small tensors only."""
+        return iter(np.asarray(self.todense()).reshape(-1))
+
+    @property
+    def flat_index(self) -> Iterator[Tuple[int, ...]]:
+        shape = self.shape
+        return (
+            tuple(int(v) for v in np.unravel_index(i, shape))
+            for i in range(self.dense_size)
+        )
+
+    # --------------------------------------------------------- arithmetic
+
+    def _binary(self, other, op_name: str, reverse: bool = False):
+        from ..ops import elementwise
+
+        return elementwise.binary(op_name, self, other, reverse=reverse)
+
+    def __add__(self, other):
+        return self._binary(other, "add")
+
+    def __radd__(self, other):
+        return self._binary(other, "add", reverse=True)
+
+    def __sub__(self, other):
+        return self._binary(other, "subtract")
+
+    def __rsub__(self, other):
+        return self._binary(other, "subtract", reverse=True)
+
+    def __mul__(self, other):
+        return self._binary(other, "multiply")
+
+    def __rmul__(self, other):
+        return self._binary(other, "multiply", reverse=True)
+
+    def __truediv__(self, other):
+        return self._binary(other, "divide")
+
+    def __rtruediv__(self, other):
+        return self._binary(other, "divide", reverse=True)
+
+    def __pow__(self, other):
+        return self._binary(other, "power")
+
+    def __neg__(self):
+        from ..ops import elementwise
+
+        return elementwise.unary(jnp.negative, self)
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        from ..ops import elementwise
+
+        return elementwise.unary(jnp.abs, self)
+
+    # -------------------------------------------------------- comparisons
+
+    def allclose(self, other, rtol=1e-5, atol=1e-8) -> bool:
+        from ..ops import elementwise
+
+        return elementwise.allclose(self, other, rtol=rtol, atol=atol)
+
+    def array_equal(self, other) -> bool:
+        from ..ops import elementwise
+
+        return elementwise.array_equal(self, other)
+
+    # ------------------------------------------------------------- interop
+
+    def __array__(self, dtype=None):
+        """NumPy interop: densifies with a warning (reference base.py:1027)."""
+        warnings.warn(
+            f"Implicitly densifying {type(self).__name__} "
+            f"(rank {self.rank}, dim {self.dim}) to a NumPy array.",
+            stacklevel=2,
+        )
+        arr = np.asarray(self.todense())
+        return arr.astype(dtype) if dtype is not None else arr
+
+    def memory_footprint(self) -> int:
+        """Bytes of stored leaf data (replaces the reference's
+        mackelab total_size hook, utils.py:1092)."""
+        return sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(self)
+        )
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(rank={self.rank}, dim={self.dim}, "
+            f"dtype={self.dtype}, size={self.size})"
+        )
+
+    # Make == elementwise-free: identity comparison like jax arrays would be
+    # confusing; follow the reference in treating == as elementwise-but-we
+    # don't support boolean tensors yet, so expose array_equal/allclose only.
+    __hash__ = None  # type: ignore[assignment]
+
+
+class _AtHelper:
+    def __init__(self, t: SymmetricTensor):
+        self._t = t
+
+    def __getitem__(self, key: Key) -> "_AtRef":
+        return _AtRef(self._t, key)
+
+
+class _AtRef:
+    def __init__(self, t: SymmetricTensor, key: Key):
+        self._t = t
+        self._key = key
+
+    def _dispatch(self, setter_cls, setter_el, value):
+        t, key = self._t, self._key
+        if isinstance(key, str):
+            return setter_cls(comb.as_class_counts(key), value)
+        if isinstance(key, (int, np.integer)):
+            key = (key,)
+        if isinstance(key, tuple):
+            if len(key) != t.rank:
+                raise IndexError(
+                    "functional updates need a σ-class label or a full "
+                    f"multi-index of length {t.rank}; got {key!r}"
+                )
+            return setter_el(key, value)
+        if key is Ellipsis:
+            # whole-tensor assignment from dense-like data
+            from .dense import DenseSymmetricTensor  # noqa: F401
+
+            raise IndexError("whole-tensor assignment: construct a new tensor")
+        raise IndexError(f"unsupported update key {key!r}")
+
+    def set(self, value):
+        return self._dispatch(self._t.set_class, self._t.set_element, value)
+
+    def add(self, value):
+        return self._dispatch(self._t.add_class, self._t.add_element, value)
+
+
+def _check_dense_size(rank: int, dim: int, what: str = "todense") -> None:
+    if dim**rank > config.max_dense_elements:
+        raise MemoryError(
+            f"{what}: dense size {dim}^{rank} = {dim**rank:,} exceeds "
+            f"config.max_dense_elements = {config.max_dense_elements:,}"
+        )

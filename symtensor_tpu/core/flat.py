@@ -1,0 +1,210 @@
+"""FlatSymmetricTensor — the packed workhorse format.
+
+One contiguous 1-D leaf of the C(d+r−1, r) independent components in gflat
+order (see utils/combinatorics.py). Closed-form O(r) addressing replaces the
+reference's per-(rank,dim) position dictionaries
+(permcls_symtensor.py:422-445) and its lexicographic ranking
+(flat_symtensor.py:39-50); the grouped layout is what lets
+`contract_all_indices_with_vector` run as d static-shape GEMVs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config, logger
+from ..utils import combinatorics as comb
+from .base import SymmetricTensor, _check_dense_size, default_dtype
+
+
+@jax.tree_util.register_pytree_node_class
+class FlatSymmetricTensor(SymmetricTensor):
+    format = "flat"
+
+    def __init__(
+        self,
+        rank: Optional[int] = None,
+        dim: Optional[int] = None,
+        data=None,
+        dtype=None,
+    ):
+        """Create from packed data (length C(d+r−1, r)) or zeros.
+
+        To create from a dense array use `from_dense`; from per-class data
+        use `PermClsSymmetricTensor(...).toflat()`.
+        """
+        if data is None:
+            if rank is None or dim is None:
+                raise ValueError("need rank and dim when no data is given")
+            n = comb.indep_size(rank, dim)
+            data = jnp.zeros((n,), dtype=dtype or default_dtype())
+        else:
+            data = jnp.asarray(data, dtype=dtype)
+            if rank is None or dim is None:
+                raise ValueError(
+                    "packed data is ambiguous without rank and dim"
+                )
+            n = comb.indep_size(rank, dim)
+            if data.ndim != 1 or data.shape[0] != n:
+                raise ValueError(
+                    f"packed data must have shape ({n},) for rank {rank} "
+                    f"dim {dim}; got {data.shape}"
+                )
+        self.rank = int(rank)
+        self.dim = int(dim)
+        self.data = data
+
+    # ------------------------------------------------------------- pytree
+
+    def tree_flatten(self):
+        return (self.data,), (self.rank, self.dim)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.rank, obj.dim = aux
+        (obj.data,) = leaves
+        return obj
+
+    @classmethod
+    def _raw(cls, rank: int, dim: int, data) -> "FlatSymmetricTensor":
+        return cls.tree_unflatten((rank, dim), (data,))
+
+    # ------------------------------------------------------------ creation
+
+    @classmethod
+    def from_dense(
+        cls,
+        arr,
+        symmetrize: bool = False,
+        check: bool = True,
+        rtol: float = 1e-5,
+        atol: float = 1e-8,
+    ) -> "FlatSymmetricTensor":
+        """Compress a dense array. With `symmetrize=True` the symmetric part
+        is taken; otherwise (by default) non-symmetric concrete input raises,
+        mirroring the reference's validation (dense_symtensor.py:111)."""
+        from ..ops.symmetrize import is_symmetric as _is_symmetric
+        from ..ops.symmetrize import symmetrize as _symmetrize
+        from ..utils.tables import tables
+
+        arr = jnp.asarray(arr)
+        rank, dim = arr.ndim, (arr.shape[0] if arr.ndim else 1)
+        if any(s != dim for s in arr.shape):
+            raise ValueError(f"dense data must be hypercubic; got {arr.shape}")
+        if symmetrize:
+            arr = _symmetrize(arr)
+        elif check and not isinstance(arr, jax.core.Tracer):
+            if not _is_symmetric(arr, rtol=rtol, atol=atol):
+                raise ValueError(
+                    "data is not symmetric (pass symmetrize=True to project)"
+                )
+        if rank == 0:
+            return cls._raw(0, 1, arr.reshape(1))
+        t = tables(rank, dim)
+        if rank == 1:
+            return cls._raw(1, dim, arr)
+        rep = t.rep_np()
+        ravel = np.ravel_multi_index(tuple(rep.T), arr.shape)
+        gather = jnp.asarray(
+            ravel.astype(np.int64 if arr.size >= 2**31 else np.int32)
+        )
+        return cls._raw(rank, dim, arr.reshape(-1)[gather])
+
+    @classmethod
+    def zeros(cls, rank: int, dim: int, dtype=None) -> "FlatSymmetricTensor":
+        return cls(rank=rank, dim=dim, dtype=dtype)
+
+    # ----------------------------------------------------------- structure
+
+    @property
+    def size(self) -> int:
+        return self.indep_size
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "FlatSymmetricTensor":
+        return self._raw(self.rank, self.dim, self.data.astype(dtype))
+
+    # ------------------------------------------------------------- content
+
+    def todense(self) -> jnp.ndarray:
+        if self.rank == 0:
+            return self.data.reshape(())
+        if self.rank == 1:
+            return self.data
+        _check_dense_size(self.rank, self.dim)
+        return self.data[self.tables.dense_gather].reshape(self.shape)
+
+    def toflat(self) -> "FlatSymmetricTensor":
+        return self
+
+    # ----------------------------------------------------------- indexing
+
+    def class_values(self, cls) -> jnp.ndarray:
+        counts = comb.as_class_counts(cls)
+        if sum(counts) != self.rank:
+            raise ValueError(
+                f"σ-class {cls!r} has rank {sum(counts)}, tensor has rank "
+                f"{self.rank}"
+            )
+        if self.rank == 0:
+            return self.data.reshape(())
+        return self.data[self.tables.class_positions(counts)]
+
+    def _position(self, idx: Sequence[int]) -> jnp.ndarray:
+        if self.rank == 0:
+            return jnp.zeros((), jnp.int32)
+        concrete = all(isinstance(i, (int, np.integer)) for i in idx)
+        if concrete:
+            srt = tuple(sorted(int(i) for i in idx))
+            if any(i < 0 or i >= self.dim for i in srt):
+                raise IndexError(f"index {idx} out of range for dim {self.dim}")
+            if self.rank == 1:
+                return jnp.asarray(srt[0], jnp.int32)
+            return jnp.asarray(self.tables.layout.position(srt), jnp.int32)
+        stacked = jnp.sort(jnp.stack([jnp.asarray(i) for i in idx]))
+        return self.tables.position_jnp(stacked)
+
+    def element(self, idx: Sequence[int]) -> jnp.ndarray:
+        return self.data[self._position(idx)]
+
+    def _partial(self, idx: Tuple[int, ...]) -> "FlatSymmetricTensor":
+        k = len(idx)
+        out_rank = self.rank - k
+        from ..utils.tables import tables as get_tables
+
+        t_out = get_tables(out_rank, self.dim)
+        rep_out = t_out.rep  # (n_out, out_rank) int32 — guarded
+        fixed = jnp.broadcast_to(
+            jnp.stack([jnp.asarray(i, jnp.int32) for i in idx]),
+            (rep_out.shape[0], k),
+        )
+        full = jnp.sort(jnp.concatenate([fixed, rep_out], axis=1), axis=1)
+        pos = self.tables.position_jnp(full)
+        return FlatSymmetricTensor._raw(out_rank, self.dim, self.data[pos])
+
+    # ------------------------------------------------------------ updates
+
+    def set_class(self, cls, value) -> "FlatSymmetricTensor":
+        counts = comb.as_class_counts(cls)
+        value = jnp.asarray(value, dtype=self.dtype)
+        if self.rank == 0:
+            return self._raw(0, 1, value.reshape(1))
+        pos = self.tables.class_positions(counts)
+        value = jnp.broadcast_to(value, pos.shape)
+        return self._raw(self.rank, self.dim, self.data.at[pos].set(value))
+
+    def set_element(self, idx, value) -> "FlatSymmetricTensor":
+        pos = self._position(idx)
+        return self._raw(
+            self.rank,
+            self.dim,
+            self.data.at[pos].set(jnp.asarray(value, dtype=self.dtype)),
+        )

@@ -54,7 +54,12 @@ class Tables:
 
     def _memo(self, key, builder):
         if key not in self._cache:
-            self._cache[key] = builder()
+            # Tables may be built lazily inside a jit trace; force concrete
+            # (compile-time) evaluation so no tracer leaks into the cache.
+            import jax
+
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = builder()
         return self._cache[key]
 
     # --------------------------------------------------------------- scalars
