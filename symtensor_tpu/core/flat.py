@@ -83,7 +83,7 @@ class FlatSymmetricTensor(SymmetricTensor):
         symmetrize: bool = False,
         check: bool = True,
         rtol: float = 1e-5,
-        atol: float = 1e-8,
+        atol: float = None,  # dtype-aware default, see ops.symmetrize
     ) -> "FlatSymmetricTensor":
         """Compress a dense array. With `symmetrize=True` the symmetric part
         is taken; otherwise (by default) non-symmetric concrete input raises,

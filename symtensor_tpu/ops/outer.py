@@ -1,0 +1,228 @@
+"""Symmetrized outer products and tensordot in the compressed domain.
+
+The reference computes these by densifying and averaging r! transposes
+(symalg.py:206-283,424-459) — its documented main inefficiency. Here we use
+the *position-subset identity*: for symmetric A (rank ra) and B (rank rb),
+
+    sym(A ⊗ B)[K] = (1/C(r, ra)) · Σ_{S ⊆ positions(K), |S|=ra} A[K_S]·B[K_∖S]
+
+where K is a sorted output multiset. Each subset term appears with equal
+weight because choosing positions of a sorted tuple enumerates the split
+multisets with exactly the multinomial redundancy the symmetrization needs.
+Cost: C(r, ra) fused gather-multiplies over packed storage — no d^r, no r!.
+
+Symmetrized tensordot over k axes adds an inner sum over contraction
+multisets C with multiplicity γ_C:
+
+    sym(A ·_k B)[K] = (1/C(r_out, ra−k)) Σ_S Σ_C γ_C · A[sort(K_S ∪ C)] · B[sort(C ∪ K_∖S)]
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config, logger
+from ..core.base import SymmetricTensor
+from ..core.dense import DenseSymmetricTensor
+from ..core.flat import FlatSymmetricTensor
+from ..utils import combinatorics as comb
+from ..utils.tables import _check_table, _i32, tables
+
+
+def _as_flat(x) -> Tuple[FlatSymmetricTensor, bool]:
+    """Coerce operand to flat; returns (flat, was_dense)."""
+    if isinstance(x, SymmetricTensor):
+        return x.toflat(), x.format == "dense"
+    arr = jnp.asarray(x)
+    if arr.ndim == 0:
+        return FlatSymmetricTensor._raw(0, 1, arr.reshape(1)), False
+    if arr.ndim == 1:
+        return FlatSymmetricTensor._raw(1, arr.shape[0], arr), False
+    return FlatSymmetricTensor.from_dense(arr), True
+
+
+def _wrap_result(flat: FlatSymmetricTensor, *operands):
+    """Result format promotion: dense only if all symmetric operands were
+    dense (reference result_array keeps the common class, base.py:1757)."""
+    symops = [o for o in operands if isinstance(o, SymmetricTensor)]
+    if symops and all(o.format == "dense" for o in symops):
+        return DenseSymmetricTensor._raw(flat.rank, flat.dim, flat.todense())
+    if symops and all(o.format == "permcls" for o in symops):
+        return flat.topermcls()
+    return flat
+
+
+@lru_cache(maxsize=None)
+def _subset_tables(ra: int, rb: int, dim: int):
+    """For each of the C(ra+rb, ra) position subsets: packed positions of
+    the A-part and B-part of every output multiset. Device int32 arrays of
+    shape (n_subsets, n_out)."""
+    r = ra + rb
+    t_out = tables(r, dim)
+    rep = t_out.rep_np()  # (n_out, r) ascending
+    subsets = list(itertools.combinations(range(r), ra))
+    _check_table(len(subsets) * t_out.n * 2, f"subset_tables({ra},{rb})")
+    t_a, t_b = tables(ra, dim), tables(rb, dim)
+    a_rows, b_rows = [], []
+    for S in subsets:
+        Sc = tuple(i for i in range(r) if i not in S)
+        ia = rep[:, S]  # rows stay sorted: subsequence of sorted row
+        ib = rep[:, Sc]
+        a_rows.append(_position_rows(t_a, ia))
+        b_rows.append(_position_rows(t_b, ib))
+    return _i32(np.stack(a_rows)), _i32(np.stack(b_rows))
+
+
+def _position_rows(t, rows: np.ndarray) -> np.ndarray:
+    if t.rank == 0:
+        return np.zeros(len(rows), dtype=np.int64)
+    if t.rank == 1:
+        return rows[:, 0]
+    return t.layout.position_array(rows)
+
+
+def symmetric_outer(a, b, fn: str = "multiply"):
+    """sym(fn.outer(a, b)) — fn ∈ {multiply, add, subtract} (the reference
+    registers .outer for these three, symalg.py:294)."""
+    af, a_dense = _as_flat(a)
+    bf, b_dense = _as_flat(b)
+    ra, rb = af.rank, bf.rank
+
+    ops = {
+        "multiply": jnp.multiply,
+        "add": jnp.add,
+        "subtract": jnp.subtract,
+    }
+    f = ops[fn]
+
+    # Scalar operands short-circuit (reference outer handles scalars,
+    # symalg.py:295-316).
+    if ra == 0 or rb == 0:
+        if ra == 0 and rb == 0:
+            out = FlatSymmetricTensor._raw(0, 1, f(af.data, bf.data))
+            return _wrap_result(out, a, b)
+        big, small, sdata = (
+            (bf, af, af.data[0]) if ra == 0 else (af, bf, bf.data[0])
+        )
+        if fn == "subtract" and ra == 0:
+            data = f(sdata, big.data)
+        elif fn == "subtract":
+            data = f(big.data, sdata)
+        else:
+            data = f(big.data, sdata)
+        out = FlatSymmetricTensor._raw(big.rank, big.dim, data)
+        return _wrap_result(out, a, b)
+
+    if af.dim != bf.dim:
+        raise ValueError(f"dim mismatch: {af.dim} vs {bf.dim}")
+    dim = af.dim
+    r = ra + rb
+    ta, tb = _subset_tables(ra, rb, dim)
+    n_sub = ta.shape[0]
+    acc = None
+    for s in range(n_sub):
+        term = f(af.data[ta[s]], bf.data[tb[s]])
+        acc = term if acc is None else acc + term
+    out = FlatSymmetricTensor._raw(r, dim, acc / n_sub)
+    return _wrap_result(out, a, b)
+
+
+@lru_cache(maxsize=None)
+def _tensordot_tables(ra: int, rb: int, k: int, dim: int):
+    """Subset × contraction-multiset gather tables for symmetrized
+    tensordot: positions into A of sort(K_S ∪ C) with shape
+    (n_subsets, n_k, n_out), likewise for B, plus γ_C."""
+    ka, kb = ra - k, rb - k
+    r_out = ka + kb
+    t_out = tables(r_out, dim)
+    rep = t_out.rep_np() if r_out > 0 else np.zeros((1, 0), dtype=np.int64)
+    tk = tables(k, dim)
+    creps = tk.rep_np()  # (n_k, k)
+    n_k = len(creps)
+    subsets = list(itertools.combinations(range(r_out), ka))
+    _check_table(
+        2 * len(subsets) * n_k * max(len(rep), 1),
+        f"tensordot_tables({ra},{rb},{k})",
+    )
+    t_a, t_b = tables(ra, dim), tables(rb, dim)
+    gam = comb.row_multiplicities(creps).astype(np.float64)
+    A_tab = np.empty((len(subsets), n_k, len(rep)), dtype=np.int64)
+    B_tab = np.empty_like(A_tab)
+    for si, S in enumerate(subsets):
+        Sc = tuple(i for i in range(r_out) if i not in S)
+        ia = rep[:, S]  # (n_out, ka)
+        ib = rep[:, Sc]
+        for ci in range(n_k):
+            c = creps[ci]
+            full_a = np.sort(
+                np.concatenate(
+                    [ia, np.broadcast_to(c, (len(rep), k))], axis=1
+                ),
+                axis=1,
+            )
+            full_b = np.sort(
+                np.concatenate(
+                    [ib, np.broadcast_to(c, (len(rep), k))], axis=1
+                ),
+                axis=1,
+            )
+            A_tab[si, ci] = _position_rows(t_a, full_a)
+            B_tab[si, ci] = _position_rows(t_b, full_b)
+    return (
+        _i32(A_tab),
+        _i32(B_tab),
+        jnp.asarray(gam.astype(np.float32)),
+        len(subsets),
+    )
+
+
+def tensordot(a, b, axes=1):
+    """Symmetrized tensordot (reference symalg.tensordot, symalg.py:424):
+    contract `axes` index pairs, then symmetrize — computed directly in the
+    compressed domain. `axes` may be an int or np-style axis lists (which
+    collapse to their count: axis identity is immaterial for symmetric
+    tensors)."""
+    if not isinstance(axes, int):
+        ax_a, ax_b = axes
+        ax_a = (ax_a,) if isinstance(ax_a, int) else tuple(ax_a)
+        ax_b = (ax_b,) if isinstance(ax_b, int) else tuple(ax_b)
+        if len(ax_a) != len(ax_b):
+            raise ValueError("axes lists must have equal length")
+        axes = len(ax_a)
+    if axes == 0:
+        return symmetric_outer(a, b, "multiply")
+
+    af, _ = _as_flat(a)
+    bf, _ = _as_flat(b)
+    ra, rb, k = af.rank, bf.rank, axes
+    if k > min(ra, rb):
+        raise ValueError(
+            f"cannot contract {k} axes between ranks {ra} and {rb}"
+        )
+    if af.dim != bf.dim:
+        raise ValueError(f"dim mismatch: {af.dim} vs {bf.dim}")
+    dim = af.dim
+    r_out = ra + rb - 2 * k
+
+    A_tab, B_tab, gam, n_sub = _tensordot_tables(ra, rb, k, dim)
+    gam = gam.astype(af.data.dtype)
+    acc = None
+    for s in range(n_sub):
+        # (n_k, n_out) gathers; weighted sum over contraction multisets
+        term = jnp.einsum(
+            "c,co->o", gam, af.data[A_tab[s]] * bf.data[B_tab[s]]
+        )
+        acc = term if acc is None else acc + term
+    acc = acc / n_sub
+    if r_out == 0:
+        out = FlatSymmetricTensor._raw(0, 1, acc.reshape(1))
+    else:
+        out = FlatSymmetricTensor._raw(r_out, dim, acc)
+    return _wrap_result(out, a, b)

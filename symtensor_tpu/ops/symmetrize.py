@@ -47,13 +47,24 @@ def symmetrize(arr: jnp.ndarray) -> jnp.ndarray:
     return _sym_trailing(arr, 0)
 
 
-def is_symmetric(arr, rtol: float = 1e-5, atol: float = 1e-8) -> bool:
+def is_symmetric(arr, rtol: float = 1e-5, atol: float = None) -> bool:
     """True if `arr` is (numerically) invariant under axis permutations.
-    Checks the r−1 adjacent transpositions, which generate S_r."""
+    Checks the r−1 adjacent transpositions, which generate S_r.
+
+    The default absolute tolerance is dtype-aware (100·eps·max|arr|): an
+    array produced by `symmetrize` in float32 is symmetric only up to
+    rounding of the averaging recursion, and a fixed 1e-8 atol would reject
+    its small entries."""
     arr = np.asarray(arr)
     r = arr.ndim
     if len(set(arr.shape)) > 1:
         return False
+    if atol is None:
+        if arr.dtype.kind == "f":
+            scale = float(np.max(np.abs(arr))) if arr.size else 0.0
+            atol = 100.0 * float(np.finfo(arr.dtype).eps) * max(scale, 1e-30)
+        else:
+            atol = 0.0
     for ax in range(r - 1):
         if not np.allclose(
             arr, np.swapaxes(arr, ax, ax + 1), rtol=rtol, atol=atol

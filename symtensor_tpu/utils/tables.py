@@ -234,6 +234,79 @@ class Tables:
 
         return self._memo(("mono", size), build)
 
+    def mono_tables_weighted(
+        self, size: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(parent, maxel, runlen) for the *EGF-weighted* monomial recursion
+
+            W_k[p] = W_{k-1}[parent[p]] * x[maxel[p]] / runlen[p]
+
+        yielding W_k[multiset m] = ∏_v x_v^{c_v} / c_v!  — the exponential-
+        generating-function weight. Multiplying by k! recovers γ·monomial,
+        which is exactly the summand of full-vector contraction
+        (Σ_I-tuples A ∏x = Σ_multisets γ A ∏x = r! Σ W·A).
+
+        runlen is static: the run length of the max element of each multiset,
+        built level-by-level on the host.
+        """
+
+        def build():
+            pars, mxs, runs = [], [], []
+            prev_mx = np.zeros(1, dtype=np.int64)  # level 0: empty multiset
+            prev_run = np.zeros(1, dtype=np.int64)
+            for k in range(1, size + 1):
+                par, mx = comb.mono_recursion_tables(self.dim, k)
+                run = np.where(prev_mx[par] == mx, prev_run[par] + 1, 1)
+                pars.append(par)
+                mxs.append(mx)
+                runs.append(run)
+                prev_mx, prev_run = mx, run
+            _check_table(sum(len(p) for p in pars), f"mono_weighted({size})")
+            return tuple(
+                (_i32(p), _i32(m), jnp.asarray(r.astype(np.float32)))
+                for p, m, r in zip(pars, mxs, runs)
+            )
+
+        return self._memo(("mono_weighted", size), build)
+
+    @property
+    def colex_perm(self) -> jnp.ndarray:
+        """(n,) int32 — colex rank of the multiset at each gflat position.
+        Reorders colex-enumerated vectors (monomial recursions, basis-change
+        outputs) into storage order: storage_vec = colex_vec[colex_perm]."""
+
+        def build():
+            if self.rank <= 1:
+                return _i32(np.arange(max(self.n, 1), dtype=np.int64))
+            return _i32(comb.colex_rank_array(self.rep_np()))
+
+        return self._memo("colex_perm", build)
+
+    def insert_table(self, k: int) -> jnp.ndarray:
+        """(N_k, dim) int32 — position in the rank-(k+1) layout of
+        sort(J ∪ {i}) for every size-k multiset J (storage order) and every
+        value i. The gather map of single-index contraction steps."""
+
+        def build():
+            tk = tables(k, self.dim)
+            _check_table(tk.n * self.dim * (k + 1), f"insert_table({k})")
+            rep = tk.rep_np()  # (N_k, k)
+            d = self.dim
+            out = np.empty((tk.n, d), dtype=np.int64)
+            tk1 = tables(k + 1, self.dim)
+            cols = np.empty((tk.n, k + 1), dtype=np.int64)
+            for i in range(d):
+                cols[:, :k] = rep
+                cols[:, k] = i
+                srt = np.sort(cols, axis=1)
+                if k + 1 == 1:
+                    out[:, i] = srt[:, 0]
+                else:
+                    out[:, i] = tk1.layout.position_array(srt)
+            return _i32(out)
+
+        return self._memo(("insert", k), build)
+
     @property
     def tri_pairs(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(a_idx, b_idx) int32 of the full d-triangle in row-major order —

@@ -1,0 +1,348 @@
+"""Symmetrized-algebra tests. Universal oracle: densify, apply the NumPy op,
+symmetrize (the reference's generic implementation, symalg.py:206)."""
+
+import itertools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import symtensor_tpu as st
+from symtensor_tpu import symalg
+from symtensor_tpu.ops.symmetrize import symmetrize
+from symtensor_tpu.utils import combinatorics as comb
+
+FORMATS = [
+    st.DenseSymmetricTensor,
+    st.FlatSymmetricTensor,
+    st.PermClsSymmetricTensor,
+]
+
+
+def random_sym(rank, dim, rng):
+    if rank == 0:
+        return np.asarray(rng.normal())
+    return np.asarray(symmetrize(rng.normal(size=(dim,) * rank)))
+
+
+def sym_np(arr):
+    return np.asarray(symmetrize(np.asarray(arr)))
+
+
+@pytest.fixture(params=FORMATS, ids=lambda c: c.format)
+def fmt(request):
+    return request.param
+
+
+# ------------------------------------------------------------- symmetrize
+
+
+def test_symmetrize_matches_bruteforce(rng):
+    for rank, dim in [(2, 4), (3, 3), (4, 3), (5, 2)]:
+        a = rng.normal(size=(dim,) * rank)
+        brute = np.zeros_like(a)
+        for p in itertools.permutations(range(rank)):
+            brute += np.transpose(a, p)
+        brute /= math.factorial(rank)
+        np.testing.assert_allclose(np.asarray(symmetrize(a)), brute, atol=1e-12)
+        # idempotent
+        np.testing.assert_allclose(
+            np.asarray(symmetrize(symmetrize(a))),
+            np.asarray(symmetrize(a)),
+            atol=1e-12,
+        )
+
+
+# ------------------------------------------------------------------ outer
+
+
+@pytest.mark.parametrize("ra,rb,dim", [(1, 1, 4), (2, 1, 3), (2, 2, 3), (3, 2, 3), (1, 3, 2)])
+def test_multiply_outer(fmt, ra, rb, dim, rng):
+    da, db = random_sym(ra, dim, rng), random_sym(rb, dim, rng)
+    A, B = fmt.from_dense(da), fmt.from_dense(db)
+    out = symalg.multiply.outer(A, B)
+    oracle = sym_np(np.multiply.outer(da, db))
+    assert isinstance(out, st.SymmetricTensor)
+    assert out.rank == ra + rb and out.dim == dim
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-10)
+    # result format follows operands
+    assert out.format == fmt.format
+
+
+@pytest.mark.parametrize("name,np_ufunc", [("add", np.add), ("subtract", np.subtract)])
+def test_add_subtract_outer(fmt, name, np_ufunc, rng):
+    da, db = random_sym(2, 3, rng), random_sym(1, 3, rng)
+    A, B = fmt.from_dense(da), fmt.from_dense(db)
+    out = getattr(symalg, name).outer(A, B)
+    oracle = sym_np(np_ufunc.outer(da, db))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-10)
+
+
+def test_outer_with_scalars(fmt, rng):
+    da = random_sym(2, 3, rng)
+    A = fmt.from_dense(da)
+    out = symalg.multiply.outer(A, 2.0)
+    np.testing.assert_allclose(np.asarray(out.todense()), 2 * da, atol=1e-12)
+    out2 = symalg.multiply.outer(3.0, A)
+    np.testing.assert_allclose(np.asarray(out2.todense()), 3 * da, atol=1e-12)
+
+
+def test_outer_with_vector_operand(fmt, rng):
+    da = random_sym(2, 3, rng)
+    v = rng.normal(size=3)
+    A = fmt.from_dense(da)
+    out = symalg.multiply.outer(A, v)
+    oracle = sym_np(np.multiply.outer(da, v))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-10)
+
+
+def test_outer_dim_mismatch(fmt):
+    A = fmt.zeros(2, 3)
+    B = fmt.zeros(1, 4)
+    with pytest.raises(ValueError):
+        symalg.multiply.outer(A, B)
+
+
+# -------------------------------------------------------------- tensordot
+
+
+@pytest.mark.parametrize(
+    "ra,rb,k,dim",
+    [
+        (1, 1, 1, 4),
+        (2, 1, 1, 3),
+        (2, 2, 1, 3),
+        (2, 2, 2, 3),
+        (3, 2, 1, 3),
+        (3, 2, 2, 3),
+        (3, 3, 2, 2),
+        (4, 2, 2, 2),
+    ],
+)
+def test_tensordot(fmt, ra, rb, k, dim, rng):
+    da, db = random_sym(ra, dim, rng), random_sym(rb, dim, rng)
+    A, B = fmt.from_dense(da), fmt.from_dense(db)
+    out = symalg.tensordot(A, B, axes=k)
+    oracle = sym_np(np.tensordot(da, db, axes=k))
+    if ra + rb - 2 * k == 0:
+        np.testing.assert_allclose(float(out.todense()), oracle, atol=1e-10)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(out.todense()), oracle, atol=1e-10
+        )
+
+
+def test_tensordot_axes_forms(fmt, rng):
+    da, db = random_sym(2, 3, rng), random_sym(2, 3, rng)
+    A, B = fmt.from_dense(da), fmt.from_dense(db)
+    r_int = symalg.tensordot(A, B, axes=1)
+    r_list = symalg.tensordot(A, B, axes=([1], [0]))
+    assert r_int.allclose(r_list)
+    with pytest.raises(ValueError):
+        symalg.tensordot(A, B, axes=3)
+
+
+def test_tensordot_with_plain_vector(fmt, rng):
+    da = random_sym(3, 3, rng)
+    x = rng.normal(size=3)
+    A = fmt.from_dense(da)
+    out = symalg.tensordot(A, x, axes=1)
+    oracle = sym_np(np.tensordot(da, x, axes=1))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-10)
+
+
+def test_transpose_noop(fmt, rng):
+    A = fmt.from_dense(random_sym(2, 3, rng))
+    assert symalg.transpose(A) is A
+
+
+# ---------------------------------------------- contract with vector/matrix
+
+
+@pytest.mark.parametrize("rank,dim", [(1, 5), (2, 4), (3, 4), (4, 3), (5, 3), (6, 2)])
+def test_contract_all_indices_with_vector(fmt, rank, dim, rng):
+    dense = random_sym(rank, dim, rng)
+    x = rng.normal(size=dim)
+    A = fmt.from_dense(dense)
+    got = symalg.contract_all_indices_with_vector(A, x)
+    expect = dense
+    for _ in range(rank):
+        expect = expect @ x
+    np.testing.assert_allclose(float(got), expect, rtol=1e-10)
+
+
+def test_contract_vector_under_jit_vmap_grad(fmt, rng):
+    dense = random_sym(3, 4, rng)
+    A = fmt.from_dense(dense)
+
+    f = jax.jit(lambda t, x: symalg.contract_all_indices_with_vector(t, x))
+    x = jnp.asarray(rng.normal(size=4))
+    expect = np.einsum("ijk,i,j,k->", dense, x, x, x)
+    np.testing.assert_allclose(float(f(A, x)), expect, rtol=1e-10)
+
+    xs = jnp.asarray(rng.normal(size=(7, 4)))
+    batched = jax.vmap(lambda x: f(A, x))(xs)
+    expect_b = np.einsum("ijk,bi,bj,bk->b", dense, xs, xs, xs)
+    np.testing.assert_allclose(np.asarray(batched), expect_b, rtol=1e-9)
+
+    # gradient wrt x: ∇ = r · contraction with r-1 copies
+    g = jax.grad(lambda x: f(A, x))(x)
+    expect_g = 3 * np.einsum("ijk,j,k->i", dense, x, x)
+    np.testing.assert_allclose(np.asarray(g), expect_g, rtol=1e-9)
+
+
+def test_contract_vector_scalar_classes(rng):
+    """Power-sum fast path: scalar-compressed classes at a dim too large to
+    enumerate (the rank-6 dim-200 BASELINE config, scaled down in rank)."""
+    dim = 200
+    A = st.PermClsSymmetricTensor(
+        rank=4, dim=dim, data={"iiii": 0.5, "iijj": -1.25, "ijkl": 2.0}
+    )
+    x = rng.normal(size=dim)
+    got = float(symalg.contract_all_indices_with_vector(A, x))
+    # oracle via monomial sums computed directly
+    p1, p2 = x.sum(), (x**2).sum()
+    p3, p4 = (x**3).sum(), (x**4).sum()
+    m_iiii = p4
+    # m_{2,2} = (p2^2 - p4)/2
+    m_iijj = (p2**2 - p4) / 2
+    # m_{1,1,1,1} = (p1^4 - 6 p1^2 p2 + 3 p2^2 + 8 p1 p3 - 6 p4)/24
+    m_ijkl = (p1**4 - 6 * p1**2 * p2 + 3 * p2**2 + 8 * p1 * p3 - 6 * p4) / 24
+    expect = (
+        0.5 * 1 * m_iiii + (-1.25) * comb.class_multiplicity((2, 2)) * m_iijj
+        + 2.0 * comb.class_multiplicity((1, 1, 1, 1)) * m_ijkl
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+def test_contract_vector_mixed_scalar_vector_classes(rng):
+    dim = 6
+    n_iij = comb.class_size((2, 1), dim)
+    A = st.PermClsSymmetricTensor(
+        rank=3,
+        dim=dim,
+        data={"iii": 1.5, "iij": jnp.asarray(rng.normal(size=n_iij))},
+        dtype=jnp.float64,
+    )
+    x = rng.normal(size=dim)
+    got = float(symalg.contract_all_indices_with_vector(A, x))
+    dense = np.asarray(A.todense())
+    expect = np.einsum("ijk,i,j,k->", dense, x, x, x)
+    np.testing.assert_allclose(got, expect, rtol=1e-9)
+
+
+@pytest.mark.parametrize("rank,dim,dim_out", [(1, 4, 4), (2, 4, 4), (3, 3, 3), (4, 3, 3), (3, 3, 5), (2, 3, 2)])
+def test_contract_all_indices_with_matrix(fmt, rank, dim, dim_out, rng):
+    dense = random_sym(rank, dim, rng)
+    W = rng.normal(size=(dim, dim_out))
+    A = fmt.from_dense(dense)
+    out = symalg.contract_all_indices_with_matrix(A, W)
+    assert out.rank == rank and out.dim == dim_out
+    args = [dense] + [W] * rank
+    letters_in = "abcdefgh"[:rank]
+    letters_out = "ijklmnop"[:rank]
+    spec = (
+        letters_in
+        + ","
+        + ",".join(f"{i}{o}" for i, o in zip(letters_in, letters_out))
+        + "->"
+        + letters_out
+    )
+    oracle = np.einsum(spec, *args)
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+    assert out.format == fmt.format
+
+
+def test_basis_change_jit_grad(rng):
+    dense = random_sym(3, 3, rng)
+    A = st.FlatSymmetricTensor.from_dense(dense)
+    W = jnp.asarray(rng.normal(size=(3, 3)))
+
+    f = jax.jit(
+        lambda t, w: symalg.contract_all_indices_with_matrix(t, w).data.sum()
+    )
+    v1 = float(f(A, W))
+    g = jax.grad(f, argnums=1)(A, W)
+    assert g.shape == (3, 3)
+    # numeric check of one gradient entry
+    eps = 1e-6
+    W2 = W.at[0, 1].add(eps)
+    np.testing.assert_allclose(
+        float((f(A, W2) - v1) / eps), float(g[0, 1]), rtol=1e-3
+    )
+
+
+# --------------------------------------------------- contract_tensor_list
+
+
+def oracle_contract_tensor_list(dense, chis, n_times, values):
+    """Brute-force reference: loop index tuples, nested outer, symmetrize."""
+    d = dense.shape[0]
+    m = chis[0].ndim
+    r = dense.ndim
+    out_rank = r - n_times + n_times * m
+    out = np.zeros((d,) * out_rank)
+    for idx in itertools.product(values, repeat=n_times):
+        term = dense[idx]
+        for i in idx:
+            term = np.multiply.outer(term, chis[i])
+        out += term
+    return sym_np(out)
+
+
+@pytest.mark.parametrize("r,m,n_times", [(1, 1, 1), (1, 2, 1), (2, 1, 1), (2, 2, 1), (3, 1, 1), (2, 1, 2), (3, 2, 2)])
+def test_contract_tensor_list(fmt, r, m, n_times, rng):
+    dim = 3
+    dense = random_sym(r, dim, rng)
+    chis = [random_sym(m, dim, rng) for _ in range(dim)]
+    A = fmt.from_dense(dense)
+    chi_ts = [fmt.from_dense(c) for c in chis]
+    out = symalg.contract_tensor_list(A, chi_ts, n_times=n_times)
+    assert out.rank == r - n_times + n_times * m
+    oracle = oracle_contract_tensor_list(dense, chis, n_times, range(dim))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+
+
+def test_contract_tensor_list_second_half(rng):
+    dim = 4
+    dense = random_sym(2, dim, rng)
+    chis = [random_sym(1, dim, rng) for _ in range(dim)]
+    A = st.FlatSymmetricTensor.from_dense(dense)
+    chi_ts = [st.FlatSymmetricTensor.from_dense(c) for c in chis]
+    out = symalg.contract_tensor_list(A, chi_ts, rule="second_half")
+    oracle = oracle_contract_tensor_list(dense, chis, 1, range(2, 4))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+
+
+def test_contract_tensor_list_validation(fmt):
+    A = fmt.zeros(2, 3)
+    chis = [fmt.zeros(1, 3)] * 3
+    with pytest.raises(ValueError):
+        symalg.contract_tensor_list(A, chis, n_times=3)
+    with pytest.raises(ValueError):
+        symalg.contract_tensor_list(A, chis[:2])
+    with pytest.raises(ValueError):
+        symalg.contract_tensor_list(A, [fmt.zeros(1, 3), fmt.zeros(1, 3), fmt.zeros(2, 3)])
+
+
+# -------------------------------------------------- monomial symmetric
+
+
+def test_monomial_symmetric_bruteforce(rng):
+    x = rng.normal(size=5)
+    for lam in [(1,), (2,), (1, 1), (2, 1), (3, 2, 1), (2, 2), (1, 1, 1)]:
+        got = float(symalg.monomial_symmetric(lam, x))
+        # brute force over distinct value assignments
+        L = len(lam)
+        total = 0.0
+        for vals in itertools.permutations(range(5), L):
+            total += np.prod([x[v] ** c for v, c in zip(vals, lam)])
+        # ordered assignments overcount by ∏ m_n! (equal parts interchange)
+        from collections import Counter
+
+        denom = 1
+        for mcount in Counter(lam).values():
+            denom *= math.factorial(mcount)
+        np.testing.assert_allclose(got, total / denom, rtol=1e-9)
