@@ -10,6 +10,7 @@ jit/vmap/grad-compatible. See SURVEY.md for the reference analysis.
 from . import config as _config_module
 from .config import config
 from .core import (
+    DecompSymmetricTensor,
     DenseSymmetricTensor,
     FlatSymmetricTensor,
     PermClsSymmetricTensor,
@@ -23,6 +24,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "config",
+    "DecompSymmetricTensor",
     "DenseSymmetricTensor",
     "FlatSymmetricTensor",
     "PermClsSymmetricTensor",

@@ -97,6 +97,12 @@ def binary(op_name: str, a, b, reverse: bool = False):
     a_sym = isinstance(a, SymmetricTensor)
     b_sym = isinstance(b, SymmetricTensor)
 
+    # Decomp stays decomposed for the ops its structure supports exactly:
+    # ±decomp, scalar scaling, and scalar shifts (c·1⃗^⊗r is itself decomp).
+    decomp_result = _try_decomp_binary(op_name, a, b, a_sym, b_sym)
+    if decomp_result is not NotImplemented:
+        return decomp_result
+
     if a_sym and b_sym:
         if a.rank == 0 and b.rank != 0:
             return binary(op_name, a.data.reshape(()), b)
@@ -123,6 +129,48 @@ def binary(op_name: str, a, b, reverse: bool = False):
         f"{type(other).__name__}; wrap array operands with from_dense() "
         "(only scalars broadcast implicitly)"
     )
+
+
+def _try_decomp_binary(op_name, a, b, a_sym, b_sym):
+    """Structure-preserving decomp arithmetic; NotImplemented → generic path."""
+    from ..core.decomp import DecompSymmetricTensor as D
+
+    a_dec = a_sym and a.format == "decomp"
+    b_dec = b_sym and b.format == "decomp"
+    if not (a_dec or b_dec):
+        return NotImplemented
+    if a_dec and b_dec and op_name in ("add", "subtract"):
+        other = b.scale(-1.0) if op_name == "subtract" else b
+        return a.add_decomp(other)
+    if a_dec and _is_scalar(b):
+        if op_name in ("add", "subtract") and a.rank == 0:
+            return NotImplemented
+        if op_name == "multiply":
+            return a.scale(b)
+        if op_name == "divide":
+            return a.scale(1.0 / jnp.asarray(b))
+        if op_name in ("add", "subtract"):
+            s = jnp.asarray(b) * (-1.0 if op_name == "subtract" else 1.0)
+            ones = D.from_vector(
+                jnp.ones((a.dim,), dtype=a.dtype), a.rank
+            ).scale(s)
+            return a.add_decomp(ones)
+    if b_dec and _is_scalar(a):
+        if op_name in ("add", "subtract") and b.rank == 0:
+            return NotImplemented
+        if op_name == "multiply":
+            return b.scale(a)
+        if op_name == "add":
+            ones = D.from_vector(
+                jnp.ones((b.dim,), dtype=b.dtype), b.rank
+            ).scale(jnp.asarray(a))
+            return b.add_decomp(ones)
+        if op_name == "subtract":  # a − B
+            ones = D.from_vector(
+                jnp.ones((b.dim,), dtype=b.dtype), b.rank
+            ).scale(jnp.asarray(a))
+            return ones.add_decomp(b.scale(-1.0))
+    return NotImplemented
 
 
 # ---------------------------------------------------------------- compare

@@ -91,6 +91,17 @@ def _position_rows(t, rows: np.ndarray) -> np.ndarray:
 def symmetric_outer(a, b, fn: str = "multiply"):
     """sym(fn.outer(a, b)) — fn ∈ {multiply, add, subtract} (the reference
     registers .outer for these three, symalg.py:294)."""
+    # Decomp × Decomp multiply.outer is exact and lazy in that format.
+    if (
+        fn == "multiply"
+        and isinstance(a, SymmetricTensor)
+        and isinstance(b, SymmetricTensor)
+        and a.format == b.format == "decomp"
+        and a.rank > 0
+        and b.rank > 0
+    ):
+        return a.outer_decomp(b)
+
     af, a_dense = _as_flat(a)
     bf, b_dense = _as_flat(b)
     ra, rb = af.rank, bf.rank
@@ -198,6 +209,20 @@ def tensordot(a, b, axes=1):
         axes = len(ax_a)
     if axes == 0:
         return symmetric_outer(a, b, "multiply")
+
+    if (
+        isinstance(a, SymmetricTensor)
+        and isinstance(b, SymmetricTensor)
+        and a.format == b.format == "decomp"
+    ):
+        try:
+            out = a.tensordot_decomp(b, axes=axes)
+        except NotImplementedError:
+            out = None
+        if out is not None:
+            if isinstance(out, SymmetricTensor):
+                return out
+            return FlatSymmetricTensor._raw(0, 1, out.reshape(1))
 
     af, _ = _as_flat(a)
     bf, _ = _as_flat(b)
