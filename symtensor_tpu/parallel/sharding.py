@@ -1,0 +1,128 @@
+"""Multi-device execution over a jax.sharding.Mesh.
+
+The reference is single-process (SURVEY.md §2: no distributed layer exists).
+The TPU-native scaling story for symmetric tensors is:
+
+- **dp**: batch polynomial evaluations sharded over a data axis,
+- **tp**: the packed independent-component axis sharded over a tensor axis —
+  contractions reduce with one psum over ICI.
+
+Everything here uses `shard_map` with explicit `jax.lax` collectives; XLA
+lowers them onto ICI. No custom transport (SURVEY.md §5 "distributed
+communication backend").
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.flat import FlatSymmetricTensor
+from ..utils import combinatorics as comb
+
+
+def make_mesh(axis_sizes: Sequence[int], axis_names: Sequence[str]) -> Mesh:
+    """Build a mesh over the first ∏sizes available devices."""
+    n = int(np.prod(axis_sizes))
+    devs = np.array(jax.devices()[:n]).reshape(axis_sizes)
+    return Mesh(devs, tuple(axis_names))
+
+
+def _pad_len(n: int, parts: int) -> int:
+    return (-n) % parts
+
+
+def shard_flat(
+    t: FlatSymmetricTensor, mesh: Mesh, axis: str
+) -> FlatSymmetricTensor:
+    """Place the packed value leaf with a NamedSharding over `axis`.
+    Requires n divisible by the axis size (use padded ops otherwise)."""
+    ntp = mesh.shape[axis]
+    if t.data.shape[0] % ntp:
+        raise ValueError(
+            f"component count {t.data.shape[0]} not divisible by mesh axis "
+            f"'{axis}' ({ntp}); use poly_eval_sharded which pads internally"
+        )
+    sharding = NamedSharding(mesh, P(axis))
+    return FlatSymmetricTensor._raw(
+        t.rank, t.dim, jax.device_put(t.data, sharding)
+    )
+
+
+def _colex_tables_padded(t, rank: int, ntp: int):
+    """Static last-level EGF tables + colex-ordered value permutation,
+    zero-padded so the component axis divides the tp axis."""
+    levels = t.mono_tables_weighted(rank)
+    par, mx, run = levels[-1]
+    n = par.shape[0]
+    pad = _pad_len(n, ntp)
+    if pad:
+        par = jnp.concatenate([par, jnp.zeros(pad, par.dtype)])
+        mx = jnp.concatenate([mx, jnp.zeros(pad, mx.dtype)])
+        run = jnp.concatenate([run, jnp.ones(pad, run.dtype)])
+    # inverse colex permutation: vals_colex[c] = vals[inv[c]]
+    inv = jnp.argsort(t.colex_perm)
+    return levels[:-1], (par, mx, run), inv, pad
+
+
+def poly_eval_batched_sharded(
+    A: FlatSymmetricTensor,
+    xs: jnp.ndarray,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    tp_axis: str = "tp",
+) -> jnp.ndarray:
+    """Batched full contraction Σ A·x⊗…⊗x with the batch sharded over
+    `dp_axis` and the packed component axis sharded over `tp_axis`;
+    the component reduction is one psum over ICI.
+
+    Returns (B,) results, sharded over dp.
+    """
+    r, d = A.rank, A.dim
+    if r < 2:
+        # trivial ranks: replicate
+        if r == 0:
+            return jnp.broadcast_to(A.data[0], (xs.shape[0],))
+        return xs @ A.data
+    ntp = mesh.shape[tp_axis]
+    ndp = mesh.shape[dp_axis]
+    B = xs.shape[0]
+    if B % ndp:
+        raise ValueError(f"batch {B} not divisible by dp axis ({ndp})")
+
+    t = A.tables
+    prior_levels, (par, mx, run), inv, pad = _colex_tables_padded(t, r, ntp)
+    vals_colex = A.data[inv]
+    if pad:
+        vals_colex = jnp.concatenate(
+            [vals_colex, jnp.zeros(pad, vals_colex.dtype)]
+        )
+
+    def body(vals_s, par_s, mx_s, run_s, xs_s):
+        # levels 1..r-1 are replicated work (size ≪ n); the big level-r
+        # gather + dot happens on the local shard only.
+        w = jnp.ones((xs_s.shape[0], 1), dtype=xs_s.dtype)
+        for pl, ml, rl in prior_levels:
+            w = w[:, pl] * xs_s[:, ml] / rl.astype(xs_s.dtype)
+        w_last = w[:, par_s] * xs_s[:, mx_s] / run_s.astype(xs_s.dtype)
+        partial_out = w_last @ vals_s.astype(xs_s.dtype)  # (B_local,)
+        return jax.lax.psum(partial_out, tp_axis)
+
+    out = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(tp_axis), P(tp_axis), P(tp_axis), P(tp_axis), P(dp_axis, None)),
+        out_specs=P(dp_axis),
+    )(vals_colex, par, mx, run, xs)
+    return float(math.factorial(r)) * out
+
+
+def replicated(mesh: Mesh):
+    """NamedSharding that replicates a leaf across the whole mesh."""
+    return NamedSharding(mesh, P())

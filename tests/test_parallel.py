@@ -1,0 +1,93 @@
+"""Sharding tests on the 8-device virtual CPU mesh (conftest forces
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import symtensor_tpu as st
+from symtensor_tpu import parallel, symalg
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return parallel.make_mesh((4, 2), ("dp", "tp"))
+
+
+def test_poly_eval_sharded_matches_single(mesh, rng):
+    rank, dim, B = 3, 10, 8
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    xs = jnp.asarray(rng.normal(size=(B, dim)))
+    out = parallel.poly_eval_batched_sharded(A, xs, mesh)
+    ref = jax.vmap(
+        lambda x: symalg.contract_all_indices_with_vector(A, x)
+    )(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-9)
+
+
+def test_poly_eval_sharded_jit_grad(mesh, rng):
+    rank, dim, B = 2, 9, 4
+    n = st.utils.indep_size(rank, dim)  # 45: not divisible by 2 → padding
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    xs = jnp.asarray(rng.normal(size=(B, dim)))
+
+    @jax.jit
+    def f(A, xs):
+        return parallel.poly_eval_batched_sharded(A, xs, mesh).sum()
+
+    dense = np.asarray(A.todense())
+    expect = np.einsum("ij,bi,bj->", dense, np.asarray(xs), np.asarray(xs))
+    np.testing.assert_allclose(float(f(A, xs)), expect, rtol=1e-9)
+
+    g = jax.grad(lambda xs: f(A, xs))(xs)
+    expect_g = 2 * np.einsum("ij,bj->bi", dense, np.asarray(xs))
+    np.testing.assert_allclose(np.asarray(g), expect_g, rtol=1e-8)
+
+
+def test_shard_flat_placement(mesh, rng):
+    rank, dim = 2, 15  # n = 120, divisible by 2
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    As = parallel.shard_flat(A, mesh, "tp")
+    assert not As.data.sharding.is_fully_replicated
+    x = jnp.asarray(rng.normal(size=dim))
+    got = float(symalg.contract_all_indices_with_vector(As, x))
+    ref = float(symalg.contract_all_indices_with_vector(A, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+    with pytest.raises(ValueError):
+        parallel.shard_flat(
+            st.FlatSymmetricTensor.zeros(2, 9), mesh, "tp"
+        )  # 45 not divisible
+
+
+def test_model_training_sharded(mesh, rng):
+    import optax
+
+    from symtensor_tpu.models import polynomial
+
+    key = jax.random.PRNGKey(0)
+    params = polynomial.init(key, ranks=(2, 3), dim=8, dtype=jnp.float64)
+    xs = jnp.asarray(rng.normal(size=(16, 8)))
+    ys = jnp.asarray(rng.normal(size=(16,)))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xs, ys):
+        return polynomial.train_step(params, opt_state, xs, ys, optimizer)
+
+    l0 = None
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state, xs, ys)
+        if l0 is None:
+            l0 = float(loss)
+    assert float(loss) < l0  # training reduces the loss
