@@ -1,0 +1,167 @@
+"""Grouped-GEMV polynomial evaluation — the benchmark kernel.
+
+Computes  Σ_{i1…ir} A_{i1…ir} x_{i1}…x_{ir} = r!·Σ_I vals_I·W_I  with
+W_I = ∏_v x_v^{c_v}/c_v! (EGF weights), exploiting the gflat layout:
+
+every component is (head ≤ j, j, tail-pair ≥ j), so the sum factorizes into
+d *static-shape* GEMVs — one per group j — against contiguous slices of a
+global triangle-monomial vector, plus tiny per-head corrections for value
+collisions at j:
+
+    result = r!·Σ_j Σ_h M̃_h · [ c1(q) · ⟨V_h, TRI_j⟩
+                               + c2(q) · ⟨V_h[:d−j], TRI_row_j⟩
+                               + c3(q) · V_h[0]·TRI_cell_j ]
+
+where M̃ are EGF head monomials (size C(d+r−4, r−3) — e.g. 176 851 at
+rank 6 dim 100 vs 1.6e9 components), q is the head's trailing count of j,
+and c1,c2,c3 absorb the (q+1)(q+2)(q+3) factorial corrections for tails
+touching j. HBM traffic ≈ one pass over the values — the speed-of-light for
+this memory-bound op (every value is used exactly once).
+
+The jnp formulation already streams at near-HBM bandwidth through XLA; a
+Pallas variant exists for fusing the per-group loop (see pallas_poly.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.flat import FlatSymmetricTensor
+from ..utils import combinatorics as comb
+
+
+@lru_cache(maxsize=None)
+def _grouped_static(rank: int, dim: int):
+    """Static per-(rank,dim) data for the grouped evaluation."""
+    lay = comb.gflat_layout(rank, dim)
+    P = [int(v) for v in lay.P]
+    T = [int(v) for v in lay.T]
+    goff = [int(v) for v in lay.group_off]
+    toff = [int(v) for v in lay.tri_off]
+    return P, T, goff, toff
+
+
+def _head_weights(t, x: jnp.ndarray, rank: int):
+    """EGF head monomials M̃ (colex, size N_{r-3}) plus static (maxel,
+    maxrun) arrays used to derive each head's trailing-j run length."""
+    hsize = rank - 3
+    if hsize == 0:
+        one = jnp.ones((1,), dtype=x.dtype)
+        return one, jnp.full((1,), -1, jnp.int32), jnp.zeros((1,), jnp.int32)
+    levels = t.mono_tables_weighted(hsize)
+    w = jnp.ones((1,), dtype=x.dtype)
+    for par, mx, run in levels:
+        w = w[par] * x[mx] / run.astype(x.dtype)
+    par, mx, run = levels[-1]
+    return w, mx, run.astype(jnp.int32)
+
+
+def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
+    """Single-input full contraction on packed storage."""
+    r, d = A.rank, A.dim
+    x = jnp.asarray(x)
+    vals = A.data
+    ct = jnp.result_type(vals.dtype, x.dtype)
+    x = x.astype(ct)
+    if r == 0:
+        return vals[0].astype(ct)
+    if r == 1:
+        return jnp.dot(vals.astype(ct), x)
+
+    t = A.tables
+    ta, tb = t.tri_pairs
+    tri = x[ta] * x[tb]
+    # halve the diagonal cells (u == w → x_u²/2!)
+    diag = (ta == tb).astype(ct)
+    tri = tri * (1.0 - 0.5 * diag)
+
+    if r == 2:
+        return 2.0 * jnp.dot(vals.astype(ct), tri)
+
+    M, maxel, maxrun = _head_weights(t, x, r)
+    P, T, goff, toff = _grouped_static(r, d)
+
+    total = jnp.zeros((), dtype=ct)
+    for j in range(d):
+        Pj, Tj = P[j], T[j]
+        V = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,)).reshape(
+            Pj, Tj
+        ).astype(ct)
+        tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
+        u_full = V @ tri_j
+        row_len = d - j
+        u_row = V[:, :row_len] @ tri_j[:row_len]
+        u_cell = V[:, 0] * tri_j[0]
+        q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
+        c1 = x[j] / (q + 1)
+        c2 = c1 * (1.0 / (q + 2) - 1.0)
+        c3 = c1 * (2.0 / ((q + 2) * (q + 3)) - 1.0 / (q + 2))
+        total = total + jnp.dot(
+            M[:Pj], c1 * u_full + c2 * u_row + c3 * u_cell
+        )
+    return float(math.factorial(r)) * total
+
+
+def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
+    """Batched contraction: xs (B, d) → (B,). The per-group GEMVs become
+    GEMMs (P_j, T_j) @ (T_j, B) — MXU work at large B."""
+    r, d = A.rank, A.dim
+    xs = jnp.asarray(xs)
+    vals = A.data
+    ct = jnp.result_type(vals.dtype, xs.dtype)
+    xs = xs.astype(ct)
+    B = xs.shape[0]
+    if r == 0:
+        return jnp.broadcast_to(vals[0].astype(ct), (B,))
+    if r == 1:
+        return xs @ vals.astype(ct)
+
+    t = A.tables
+    ta, tb = t.tri_pairs
+    tri = xs[:, ta] * xs[:, tb]  # (B, Ttri)
+    diag = (ta == tb).astype(ct)
+    tri = tri * (1.0 - 0.5 * diag)[None, :]
+
+    if r == 2:
+        return 2.0 * (tri @ vals.astype(ct))
+
+    hsize = r - 3
+    if hsize == 0:
+        M = jnp.ones((B, 1), dtype=ct)
+        maxel = jnp.full((1,), -1, jnp.int32)
+        maxrun = jnp.zeros((1,), jnp.int32)
+    else:
+        levels = t.mono_tables_weighted(hsize)
+        M = jnp.ones((B, 1), dtype=ct)
+        for par, mx, run in levels:
+            M = M[:, par] * xs[:, mx] / run.astype(ct)
+        _, maxel, maxrun = levels[-1]
+        maxrun = maxrun.astype(jnp.int32)
+
+    P, T, goff, toff = _grouped_static(r, d)
+    total = jnp.zeros((B,), dtype=ct)
+    for j in range(d):
+        Pj, Tj = P[j], T[j]
+        V = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,)).reshape(
+            Pj, Tj
+        ).astype(ct)
+        tri_j = jax.lax.slice(tri, (0, toff[j]), (B, toff[j] + Tj,))
+        u_full = tri_j @ V.T  # (B, Pj)
+        row_len = d - j
+        u_row = tri_j[:, :row_len] @ V[:, :row_len].T
+        u_cell = tri_j[:, :1] * V[None, :, 0]
+        q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
+        xj = xs[:, j : j + 1]
+        c1 = xj / (q + 1)[None, :]
+        c2 = c1 * (1.0 / (q + 2) - 1.0)[None, :]
+        c3 = c1 * (2.0 / ((q + 2) * (q + 3)) - 1.0 / (q + 2))[None, :]
+        total = total + jnp.einsum(
+            "bp,bp->b", M[:, :Pj], c1 * u_full + c2 * u_row + c3 * u_cell
+        )
+    return float(math.factorial(r)) * total

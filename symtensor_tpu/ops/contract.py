@@ -102,13 +102,11 @@ def _egf_weights(t, x: jnp.ndarray, rank: int) -> jnp.ndarray:
     return w
 
 
-def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
+def _contract_vec_flat_simple(A: FlatSymmetricTensor, x) -> jnp.ndarray:
+    """Reference-grade EGF path: builds the full weighted monomial vector
+    (O(n) extra tables/intermediates). Kept as a cross-check oracle for the
+    grouped kernel; production dispatch uses kernels.poly_eval."""
     x = jnp.asarray(x)
-    if x.shape != (A.dim,) and A.rank > 0:
-        raise ValueError(
-            f"vector length {x.shape} must match dim {A.dim} "
-            "(reference symalg.py:517)"
-        )
     r = A.rank
     if r == 0:
         return A.data[0]
@@ -120,6 +118,18 @@ def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     # gflat storage order through the static permutation.
     w = w[t.colex_perm]
     return float(math.factorial(r)) * jnp.dot(A.data, w.astype(A.data.dtype))
+
+
+def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
+    x = jnp.asarray(x)
+    if A.rank > 0 and x.shape != (A.dim,):
+        raise ValueError(
+            f"vector length {x.shape} must match dim {A.dim} "
+            "(reference symalg.py:517)"
+        )
+    from ..kernels.poly_eval import poly_eval_flat
+
+    return poly_eval_flat(A, x)
 
 
 def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:

@@ -1,0 +1,67 @@
+"""Grouped-GEMV kernel vs the simple EGF path and the dense oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import symtensor_tpu as st
+from symtensor_tpu.kernels.poly_eval import poly_eval_flat, poly_eval_flat_batched
+from symtensor_tpu.ops.contract import _contract_vec_flat_simple
+from symtensor_tpu.ops.symmetrize import symmetrize
+
+
+@pytest.mark.parametrize(
+    "rank,dim", [(2, 5), (3, 4), (3, 7), (4, 5), (5, 4), (6, 3), (6, 5), (7, 3)]
+)
+def test_grouped_matches_simple_and_dense(rank, dim, rng):
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    x = jnp.asarray(rng.normal(size=dim))
+    got = float(poly_eval_flat(A, x))
+    simple = float(_contract_vec_flat_simple(A, x))
+    np.testing.assert_allclose(got, simple, rtol=1e-10)
+    dense = np.asarray(A.todense())
+    expect = dense
+    for _ in range(rank):
+        expect = expect @ np.asarray(x)
+    np.testing.assert_allclose(got, float(expect), rtol=1e-9)
+
+
+@pytest.mark.parametrize("rank,dim", [(3, 5), (4, 4), (6, 3)])
+def test_batched_matches_loop(rank, dim, rng):
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    xs = jnp.asarray(rng.normal(size=(6, dim)))
+    got = np.asarray(poly_eval_flat_batched(A, xs))
+    ref = np.array([float(poly_eval_flat(A, x)) for x in xs])
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_grouped_jit_grad(rng):
+    rank, dim = 4, 6
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    x = jnp.asarray(rng.normal(size=dim))
+    f = jax.jit(lambda A, x: poly_eval_flat(A, x))
+    np.testing.assert_allclose(
+        float(f(A, x)), float(poly_eval_flat(A, x)), rtol=1e-12
+    )
+    gx = jax.grad(lambda x: f(A, x))(x)
+    dense = np.asarray(A.todense())
+    expect = rank * np.einsum("abcd,b,c,d->a", dense, *([np.asarray(x)] * 3))
+    np.testing.assert_allclose(np.asarray(gx), expect, rtol=1e-8)
+    gA = jax.grad(lambda A: f(A, x))(A)
+    assert isinstance(gA, st.FlatSymmetricTensor)
+    # dL/dvals_I = r! * EGF weight — check one entry (the all-zeros index)
+    np.testing.assert_allclose(
+        float(gA.data[0]),
+        float(x[0]) ** rank,
+        rtol=1e-8,
+    )
