@@ -90,9 +90,13 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     total = jnp.zeros((), dtype=ct)
     for j in range(d):
         Pj, Tj = P[j], T[j]
-        V = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,)).reshape(
-            Pj, Tj
-        ).astype(ct)
+        chunk = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,))
+        # Barrier: without it XLA rewrites reshape(slice(vals)) into
+        # slice(reshape(vals)) whenever goff % T == 0, materializing the
+        # full value array as (n/T, T) — whose TPU tiled layout pads the
+        # lane dimension to 128 (a 29 GB allocation at rank-6 dim-100).
+        chunk = jax.lax.optimization_barrier(chunk)
+        V = chunk.reshape(Pj, Tj).astype(ct)
         tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
         u_full = V @ tri_j
         row_len = d - j
@@ -148,9 +152,9 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     total = jnp.zeros((B,), dtype=ct)
     for j in range(d):
         Pj, Tj = P[j], T[j]
-        V = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,)).reshape(
-            Pj, Tj
-        ).astype(ct)
+        chunk = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,))
+        chunk = jax.lax.optimization_barrier(chunk)  # see poly_eval_flat
+        V = chunk.reshape(Pj, Tj).astype(ct)
         tri_j = jax.lax.slice(tri, (0, toff[j]), (B, toff[j] + Tj,))
         u_full = tri_j @ V.T  # (B, Pj)
         row_len = d - j

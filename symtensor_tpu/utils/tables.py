@@ -148,7 +148,8 @@ class Tables:
         return self._memo("rep", build)
 
     def rep_np(self) -> np.ndarray:
-        """Host copy of `rep` (int64)."""
+        """Host copy of `rep` (int64). Uses the native (C++) enumerator when
+        available; NumPy fallback otherwise (bit-identical, tested)."""
 
         def build():
             _check_table(self.n * max(self.rank, 1), "rep_indices")
@@ -156,29 +157,52 @@ class Tables:
                 return np.zeros((1, 0), dtype=np.int64)
             if self.rank == 1:
                 return np.arange(self.dim, dtype=np.int64)[:, None]
+            from .. import native
+
+            rep = native.gflat_rep(self.rank, self.dim)
+            if rep is not None:
+                return rep.astype(np.int64)
             return self.layout.rep_indices()
 
         return self._memo("rep_np", build)
 
+    def _row_stats(self):
+        """(γ float32, class-id int64) per position — one native pass when
+        available."""
+
+        def build():
+            if self.rank == 0:
+                return (
+                    np.ones(1, dtype=np.float32),
+                    np.zeros(1, dtype=np.int64),
+                )
+            from .. import native
+
+            got = native.row_stats(
+                self.rep_np(), self.rank, comb.perm_classes(self.rank)
+            )
+            if got is not None:
+                gamma, cid = got
+                return gamma, cid.astype(np.int64)
+            rep = self.rep_np()
+            return (
+                comb.row_multiplicities(rep).astype(np.float32),
+                comb.class_id_of_rows(rep, self.rank),
+            )
+
+        return self._memo("row_stats", build)
+
     @property
     def multiplicity(self) -> jnp.ndarray:
         """(n,) float32 — γ per packed position (r!/∏counts!)."""
-
-        def build():
-            gamma = comb.row_multiplicities(self.rep_np())
-            return jnp.asarray(gamma.astype(np.float32))
-
-        return self._memo("multiplicity", build)
+        return self._memo(
+            "multiplicity", lambda: jnp.asarray(self._row_stats()[0])
+        )
 
     @property
     def class_ids_np(self) -> np.ndarray:
         """(n,) host int64 — σ-class id (index into perm_classes) per position."""
-        return self._memo(
-            "class_ids_np",
-            lambda: comb.class_id_of_rows(self.rep_np(), self.rank)
-            if self.rank > 0
-            else np.zeros(1, dtype=np.int64),
-        )
+        return self._row_stats()[1]
 
     def class_positions_np(self, class_counts: comb.SigmaClass) -> np.ndarray:
         """Host int64 positions (in storage order) of one σ-class."""
@@ -209,6 +233,11 @@ class Tables:
             _check_table(dn, "dense_gather")
             if self.rank == 0:
                 return jnp.zeros((1,), dtype=jnp.int32)
+            from .. import native
+
+            pos = native.dense_gather(self.rank, self.dim)
+            if pos is not None:
+                return jnp.asarray(pos)
             # Build on host: all dense indices, sorted rows → positions.
             shape = (self.dim,) * self.rank
             grids = np.indices(shape).reshape(self.rank, -1).T  # (d^r, r)
@@ -292,6 +321,12 @@ class Tables:
             _check_table(tk.n * self.dim * (k + 1), f"insert_table({k})")
             rep = tk.rep_np()  # (N_k, k)
             d = self.dim
+            if k >= 1:
+                from .. import native
+
+                nat = native.insert_table(rep, k, d)
+                if nat is not None:
+                    return _i32(nat)
             out = np.empty((tk.n, d), dtype=np.int64)
             tk1 = tables(k + 1, self.dim)
             cols = np.empty((tk.n, k + 1), dtype=np.int64)
