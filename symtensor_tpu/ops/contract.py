@@ -333,6 +333,12 @@ def contract_tensor_list(
         return _combine_bilinear(T, A.rank - 1, m, d)
 
     # general n: loop contraction multisets with multinomial weights
+    from ..utils.profiling import count_fallback
+
+    count_fallback(
+        "contract_tensor_list.multiset_loop",
+        f"(n_times={n_times} uses a host loop over contraction multisets)",
+    )
     out = None
     for M in _multisets(values, n_times):
         # #tuples mapping to this multiset = n!/∏counts!

@@ -44,9 +44,13 @@ def _is_scalar(x) -> bool:
 
 def _promote(a: SymmetricTensor, b: SymmetricTensor):
     """Bring both operands to a common format; return (a, b)."""
+    from ..utils.profiling import count_fallback
+
     if a.format == "decomp":
+        count_fallback("elementwise.decomp_to_flat", "(decomp operand expanded)")
         a = a.toflat()
     if b.format == "decomp":
+        count_fallback("elementwise.decomp_to_flat", "(decomp operand expanded)")
         b = b.toflat()
     if a.format == b.format:
         return a, b

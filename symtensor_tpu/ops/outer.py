@@ -218,6 +218,12 @@ def tensordot(a, b, axes=1):
         try:
             out = a.tensordot_decomp(b, axes=axes)
         except NotImplementedError:
+            from ..utils.profiling import count_fallback
+
+            count_fallback(
+                "tensordot.decomp_to_packed",
+                f"(axes={axes} with multi-group decomp operands)",
+            )
             out = None
         if out is not None:
             if isinstance(out, SymmetricTensor):
