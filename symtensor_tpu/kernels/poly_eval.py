@@ -62,6 +62,42 @@ def _head_weights(t, x: jnp.ndarray, rank: int):
     return w, mx, run.astype(jnp.int32)
 
 
+_VIEW_CACHE: "weakref.WeakValueDictionary" = None  # set lazily
+
+
+def group_views(A: FlatSymmetricTensor):
+    """Per-group matrices [(P_j, T_j), …] of the packed values.
+
+    Built once per tensor (cached on the instance — tensors are immutable)
+    with a jitted slice/reshape prep. Evaluation over views needs no
+    optimization_barrier copies: each GEMV reads a cleanly-laid-out matrix.
+    Costs one extra copy of the values in device memory.
+    """
+    cached = getattr(A, "_group_views", None)
+    if cached is not None:
+        return cached
+    r, d = A.rank, A.dim
+    P, T, goff, _ = _grouped_static(r, d)
+
+    @jax.jit
+    def prep(vals):
+        out = []
+        for j in range(d):
+            chunk = jax.lax.slice(
+                vals, (goff[j],), (goff[j] + P[j] * T[j],)
+            )
+            chunk = jax.lax.optimization_barrier(chunk)
+            out.append(chunk.reshape(P[j], T[j]))
+        return tuple(out)
+
+    views = prep(A.data)
+    try:
+        object.__setattr__(A, "_group_views", views)
+    except Exception:  # noqa: BLE001 — caching is best-effort
+        pass
+    return views
+
+
 def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     """Single-input full contraction on packed storage."""
     r, d = A.rank, A.dim
@@ -85,10 +121,14 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
         return 2.0 * jnp.dot(vals.astype(ct), tri)
 
     M, maxel, maxrun = _head_weights(t, x, r)
-    P, T, goff, toff = _grouped_static(r, d)
+    get_V = _barrier_view_getter(vals, r, d)
+    return _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct)
 
-    total = jnp.zeros((), dtype=ct)
-    for j in range(d):
+
+def _barrier_view_getter(vals, r, d):
+    P, T, goff, _ = _grouped_static(r, d)
+
+    def get_V(j, ct):
         Pj, Tj = P[j], T[j]
         chunk = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,))
         # Barrier: without it XLA rewrites reshape(slice(vals)) into
@@ -96,12 +136,23 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
         # full value array as (n/T, T) — whose TPU tiled layout pads the
         # lane dimension to 128 (a 29 GB allocation at rank-6 dim-100).
         chunk = jax.lax.optimization_barrier(chunk)
-        V = chunk.reshape(Pj, Tj).astype(ct)
+        return chunk.reshape(Pj, Tj).astype(ct)
+
+    return get_V
+
+
+def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
+    P, T, goff, toff = _grouped_static(r, d)
+    total = jnp.zeros((), dtype=ct)
+    for j in range(d):
+        Tj = T[j]
+        V = get_V(j, ct)
         tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
         u_full = V @ tri_j
         row_len = d - j
         u_row = V[:, :row_len] @ tri_j[:row_len]
         u_cell = V[:, 0] * tri_j[0]
+        Pj = P[j]
         q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
         c1 = x[j] / (q + 1)
         c2 = c1 * (1.0 / (q + 2) - 1.0)
@@ -110,6 +161,40 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
             M[:Pj], c1 * u_full + c2 * u_row + c3 * u_cell
         )
     return float(math.factorial(r)) * total
+
+
+@lru_cache(maxsize=None)
+def _views_eval_jitted(rank: int, dim: int):
+    """Cached jitted evaluator over pre-split group views — the fastest
+    single-chip path (no per-call copies, clean 2-D layouts)."""
+    from ..utils.tables import tables as get_tables
+
+    def f(views, x):
+        t = get_tables(rank, dim)
+        x = jnp.asarray(x)
+        ct = jnp.result_type(views[0].dtype, x.dtype)
+        x = x.astype(ct)
+        ta, tb = t.tri_pairs
+        tri = x[ta] * x[tb]
+        tri = tri * (1.0 - 0.5 * (ta == tb).astype(ct))
+        M, maxel, maxrun = _head_weights(t, x, rank)
+        return _eval_core(
+            lambda j, c: views[j].astype(c), tri, x, M, maxel, maxrun,
+            rank, dim, ct,
+        )
+
+    return jax.jit(f)
+
+
+def poly_eval_flat_fast(A: FlatSymmetricTensor, x) -> jnp.ndarray:
+    """Eager entry point for repeated evaluation of one tensor: splits the
+    packed values into cached per-group views once, then runs a cached
+    jitted evaluation over them. Use inside jit → poly_eval_flat instead."""
+    r = A.rank
+    if r < 3:
+        return poly_eval_flat(A, x)
+    views = group_views(A)
+    return _views_eval_jitted(r, A.dim)(views, x)
 
 
 def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:

@@ -65,3 +65,22 @@ def test_grouped_jit_grad(rng):
         float(x[0]) ** rank,
         rtol=1e-8,
     )
+
+
+def test_fast_views_path_matches(rng):
+    from symtensor_tpu.kernels.poly_eval import poly_eval_flat_fast, group_views
+
+    rank, dim = 5, 6
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    x = jnp.asarray(rng.normal(size=dim))
+    fast = float(poly_eval_flat_fast(A, x))
+    ref = float(poly_eval_flat(A, x))
+    np.testing.assert_allclose(fast, ref, rtol=1e-12)
+    # views cached on the instance
+    assert group_views(A) is group_views(A)
+    # second call reuses the jitted evaluator
+    fast2 = float(poly_eval_flat_fast(A, x))
+    np.testing.assert_allclose(fast2, fast, rtol=0)
