@@ -84,3 +84,17 @@ def test_fast_views_path_matches(rng):
     # second call reuses the jitted evaluator
     fast2 = float(poly_eval_flat_fast(A, x))
     np.testing.assert_allclose(fast2, fast, rtol=0)
+
+
+def test_pallas_path_matches(rng):
+    from symtensor_tpu.kernels.pallas_poly import poly_eval_flat_pallas
+
+    for rank, dim in [(3, 5), (4, 4), (6, 3)]:
+        n = st.utils.indep_size(rank, dim)
+        A = st.FlatSymmetricTensor(
+            rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n), jnp.float32)
+        )
+        x = jnp.asarray(rng.normal(size=dim), jnp.float32)
+        got = float(poly_eval_flat_pallas(A, x))
+        ref = float(poly_eval_flat(A, x))
+        np.testing.assert_allclose(got, ref, rtol=2e-5)
