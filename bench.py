@@ -49,12 +49,41 @@ def main():
     )
     from symtensor_tpu.ops.contract import _contract_vec_flat_simple
 
+    import gc
+
     rank = int(os.environ.get("SYMTENSOR_BENCH_RANK", 6))
     dim = int(os.environ.get("SYMTENSOR_BENCH_DIM", 100))
     repeats = int(os.environ.get("SYMTENSOR_BENCH_REPEATS", 5))
 
     n = st.utils.indep_size(rank, dim)
     key = jax.random.PRNGKey(0)
+
+    # ---- dense baseline first (frees its HBM before the big tensor) ----
+    dense_flops = sum(2.0 * dim**k for k in range(1, rank + 1))
+    d_base = int(os.environ.get("SYMTENSOR_BENCH_DENSE_DIM", 24))
+    while d_base**rank * 4 > 2e9 and d_base > 4:
+        d_base -= 2
+    dense = jax.random.normal(key, (d_base,) * rank, jnp.float32)
+    xb = jax.random.normal(jax.random.PRNGKey(3), (d_base,), jnp.float32)
+
+    @jax.jit
+    def dense_chain(dense, xb):
+        out = dense
+        for _ in range(rank):
+            out = out @ xb
+        return out
+
+    dense_chain(dense, xb).block_until_ready()
+    t_dense_small = median_time(
+        lambda: dense_chain(dense, xb).block_until_ready(), repeats
+    )
+    dense_small_flops = sum(2.0 * d_base**k for k in range(1, rank + 1))
+    dense_gflops = dense_small_flops / t_dense_small / 1e9
+    t_dense_est = dense_flops / (dense_gflops * 1e9)
+    del dense, xb
+    gc.collect()
+
+    # ---- the packed kernel at full size ----
     vals = jax.random.normal(key, (n,), dtype=jnp.float32)
     A = st.FlatSymmetricTensor._raw(rank, dim, vals)
     x = jax.random.normal(jax.random.PRNGKey(1), (dim,), dtype=jnp.float32)
@@ -78,31 +107,6 @@ def main():
     t_ours = median_time(
         lambda: jax.block_until_ready(poly_eval_flat_fast(A, x)), repeats
     )
-
-    # effective dense FLOPs of the tensordot chain
-    dense_flops = sum(2.0 * dim**k for k in range(1, rank + 1))
-
-    # dense baseline throughput at the largest feasible size
-    d_base = int(os.environ.get("SYMTENSOR_BENCH_DENSE_DIM", 24))
-    while d_base**rank * 4 > 2e9 and d_base > 4:
-        d_base -= 2
-    dense = jax.random.normal(key, (d_base,) * rank, jnp.float32)
-    xb = jax.random.normal(jax.random.PRNGKey(3), (d_base,), jnp.float32)
-
-    @jax.jit
-    def dense_chain(dense, xb):
-        out = dense
-        for _ in range(rank):
-            out = out @ xb
-        return out
-
-    dense_chain(dense, xb).block_until_ready()
-    t_dense_small = median_time(
-        lambda: dense_chain(dense, xb).block_until_ready(), repeats
-    )
-    dense_small_flops = sum(2.0 * d_base**k for k in range(1, rank + 1))
-    dense_gflops = dense_small_flops / t_dense_small / 1e9
-    t_dense_est = dense_flops / (dense_gflops * 1e9)
 
     value = dense_flops / t_ours / 1e9
     vs_baseline = t_dense_est / t_ours

@@ -1,3 +1,3 @@
-from . import polynomial
+from . import moments, polynomial
 
-__all__ = ["polynomial"]
+__all__ = ["moments", "polynomial"]

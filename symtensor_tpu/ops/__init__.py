@@ -13,6 +13,7 @@ from . import outer as _outer_mod
 from .contract import (
     contract_all_indices_with_matrix,
     contract_all_indices_with_vector,
+    contract_all_indices_with_vector_batched,
     contract_tensor_list,
     monomial_symmetric,
     power_sums,
@@ -59,6 +60,7 @@ __all__ = [
     "symmetric_outer",
     "contract_all_indices_with_matrix",
     "contract_all_indices_with_vector",
+    "contract_all_indices_with_vector_batched",
     "contract_tensor_list",
     "monomial_symmetric",
     "power_sums",

@@ -133,6 +133,14 @@ def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
 
 
 def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:
+    """Per-σ-class evaluation:
+
+    - scalar-compressed classes: γ_σ·c·m_λ(x) via power sums — O(r·d)
+      regardless of class size (the rank-6 dim-200 BASELINE config);
+    - vector classes: γ_σ·⟨leaf, ∏_k x[rep_σ[:,k]]⟩ through a per-class
+      representative-index table (s_σ·r entries, cached); falls back to the
+      packed grouped kernel if the tables would exceed the size guard.
+    """
     x = jnp.asarray(x)
     total = jnp.zeros((), dtype=jnp.result_type(A.dtype, x.dtype))
     vector_part = {}
@@ -142,15 +150,29 @@ def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:
             total = total + leaf * gamma * monomial_symmetric(cnts, x)
         else:
             vector_part[cnts] = leaf
-    if vector_part:
-        # Scalar classes were handled above; zero them before going packed.
-        store = {
-            k: (v if v.ndim else jnp.zeros((), dtype=A.dtype))
-            for k, v in A.data.items()
-        }
-        B = PermClsSymmetricTensor._raw(A.rank, A.dim, store)
-        total = total + _contract_vec_flat(B.toflat(), x)
-    return total
+    if not vector_part:
+        return total
+    t = A.tables
+    try:
+        for cnts, leaf in vector_part.items():
+            rep_c = t.class_rep(cnts)  # (s_σ, r) int32 device
+            mono = x[rep_c[:, 0]]
+            for k in range(1, A.rank):
+                mono = mono * x[rep_c[:, k]]
+            gamma = comb.class_multiplicity(cnts)
+            total = total + gamma * jnp.dot(
+                leaf.astype(total.dtype), mono.astype(total.dtype)
+            )
+        return total
+    except MemoryError:
+        pass
+    # tables too large → zero the scalar classes and go through packed
+    store = {
+        k: (v if v.ndim else jnp.zeros((), dtype=A.dtype))
+        for k, v in A.data.items()
+    }
+    B = PermClsSymmetricTensor._raw(A.rank, A.dim, store)
+    return total + _contract_vec_flat(B.toflat(), x)
 
 
 def contract_all_indices_with_vector(symtensor, x) -> jnp.ndarray:
@@ -172,6 +194,42 @@ def contract_all_indices_with_vector(symtensor, x) -> jnp.ndarray:
             out = out @ x
         return out
     return _contract_vec_flat(A.toflat(), x)
+
+
+def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
+    """Batched polynomial evaluation: xs (B, dim) → (B,).
+
+    Format-specialized: packed tensors use the grouped GEMM kernel (MXU
+    work at large B); decomp uses one batched einsum; other formats vmap
+    the single-input path. This is the BASELINE 'jit+vmap over 1024 inputs'
+    configuration as a first-class op.
+    """
+    A = symtensor
+    xs = jnp.asarray(xs)
+    if xs.ndim != 2:
+        raise ValueError(f"xs must be (batch, dim); got {xs.shape}")
+    if A.format == "flat":
+        from ..kernels.poly_eval import poly_eval_flat_batched
+
+        return poly_eval_flat_batched(A, xs)
+    if A.format == "decomp":
+        import string
+
+        v = A.factors @ xs.T.astype(A.dtype)  # (F, B)
+        k = A.num_indep_factors
+        if k == 0:
+            return jnp.broadcast_to(A.weights.reshape(()), (xs.shape[0],))
+        letters = string.ascii_lowercase[:k]
+        spec = (
+            letters
+            + ","
+            + ",".join(f"{c}B" for c in letters)
+            + "->B"
+        )
+        return jnp.einsum(
+            spec, A.weights, *[v**m for m in A.multiplicities]
+        )
+    return jax.vmap(lambda x: contract_all_indices_with_vector(A, x))(xs)
 
 
 # ---------------------------------------------------------------------------

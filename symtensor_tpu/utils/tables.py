@@ -219,6 +219,18 @@ class Tables:
             lambda: _i32(self.class_positions_np(class_counts)),
         )
 
+    def class_rep(self, class_counts: comb.SigmaClass) -> jnp.ndarray:
+        """(s_σ, rank) int32 device — representative indices of one σ-class
+        in storage order (the gather map of per-class contractions)."""
+        cid = self.perm_classes.index(tuple(class_counts))
+
+        def build():
+            pos = self.class_positions_np(class_counts)
+            _check_table(len(pos) * max(self.rank, 1), "class_rep")
+            return _i32(self.rep_np()[pos])
+
+        return self._memo(("class_rep", cid), build)
+
     @property
     def dense_gather(self) -> jnp.ndarray:
         """(dim**rank,) int32 — packed position of sort(I) for every dense

@@ -346,3 +346,45 @@ def test_monomial_symmetric_bruteforce(rng):
         for mcount in Counter(lam).values():
             denom *= math.factorial(mcount)
         np.testing.assert_allclose(got, total / denom, rtol=1e-9)
+
+
+def test_batched_contract_all_formats(rng):
+    dim, B = 5, 7
+    xs = jnp.asarray(rng.normal(size=(B, dim)))
+    dense = random_sym(3, dim, rng)
+    expect = np.einsum("ijk,bi,bj,bk->b", dense, *([np.asarray(xs)] * 3))
+    for fmt in FORMATS:
+        A = fmt.from_dense(dense)
+        got = np.asarray(symalg.contract_all_indices_with_vector_batched(A, xs))
+        np.testing.assert_allclose(got, expect, rtol=1e-9, err_msg=fmt.format)
+    # decomp
+    D = st.DecompSymmetricTensor(
+        rank=3, dim=dim,
+        weights=jnp.asarray(rng.normal(size=(2, 2))),
+        factors=jnp.asarray(rng.normal(size=(2, dim))),
+        multiplicities=(2, 1), dtype=jnp.float64,
+    )
+    got = np.asarray(symalg.contract_all_indices_with_vector_batched(D, xs))
+    ref = np.array([
+        float(symalg.contract_all_indices_with_vector(D, x)) for x in xs
+    ])
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+
+def test_permcls_per_class_contraction_path(rng):
+    # vector + scalar classes mixed, checked against dense, at float64
+    dim = 7
+    n_iij = comb.class_size((2, 1), dim)
+    n_ijk = comb.class_size((1, 1, 1), dim)
+    A = st.PermClsSymmetricTensor(
+        rank=3, dim=dim,
+        data={"iii": 0.5,
+              "iij": jnp.asarray(rng.normal(size=n_iij)),
+              "ijk": jnp.asarray(rng.normal(size=n_ijk))},
+        dtype=jnp.float64,
+    )
+    x = rng.normal(size=dim)
+    got = float(symalg.contract_all_indices_with_vector(A, x))
+    dense = np.asarray(A.todense())
+    expect = np.einsum("ijk,i,j,k->", dense, x, x, x)
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
