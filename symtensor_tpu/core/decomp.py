@@ -18,7 +18,6 @@ element retrieval uses the position-subset identity shared with ops/outer.py.
 from __future__ import annotations
 
 import itertools
-import math
 import string
 from typing import Optional, Sequence, Tuple
 
@@ -26,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import logger
 from ..utils import combinatorics as comb
 from .base import SymmetricTensor, default_dtype
 from .flat import FlatSymmetricTensor

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config, logger
+from ..config import config
 from ..utils import combinatorics as comb
 from .base import SymmetricTensor, _check_dense_size, default_dtype
 

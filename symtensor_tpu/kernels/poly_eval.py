@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,9 +59,6 @@ def _head_weights(t, x: jnp.ndarray, rank: int):
         w = w[par] * x[mx] / run.astype(x.dtype)
     par, mx, run = levels[-1]
     return w, mx, run.astype(jnp.int32)
-
-
-_VIEW_CACHE: "weakref.WeakValueDictionary" = None  # set lazily
 
 
 def group_views(A: FlatSymmetricTensor):

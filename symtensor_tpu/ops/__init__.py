@@ -18,6 +18,7 @@ from .contract import (
     monomial_symmetric,
     power_sums,
 )
+from .elementwise import allclose, array_equal, isclose
 from .outer import symmetric_outer, tensordot
 from .symmetrize import is_symmetric, symmetrize
 
@@ -65,6 +66,9 @@ __all__ = [
     "monomial_symmetric",
     "power_sums",
     "elementwise",
+    "allclose",
+    "array_equal",
+    "isclose",
     "is_symmetric",
     "symmetrize",
 ]

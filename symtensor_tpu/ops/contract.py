@@ -22,14 +22,13 @@ from __future__ import annotations
 
 import math
 from collections import Counter
-from functools import lru_cache
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config, logger
+from ..config import config
 from ..core.base import SymmetricTensor
 from ..core.dense import DenseSymmetricTensor
 from ..core.flat import FlatSymmetricTensor

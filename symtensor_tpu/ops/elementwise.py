@@ -197,6 +197,26 @@ def allclose(a, b, rtol=1e-5, atol=1e-8) -> bool:
     raise TypeError("allclose needs SymmetricTensor or scalar operands")
 
 
+def isclose(a, b, rtol=1e-5, atol=1e-8):
+    """Elementwise isclose over independent components, returned as a
+    boolean tensor in the promoted format (reference np.isclose impl,
+    base.py:1520)."""
+    if isinstance(a, SymmetricTensor) and isinstance(b, SymmetricTensor):
+        if (a.rank, a.dim) != (b.rank, b.dim):
+            raise ValueError("rank/dim mismatch")
+        a, b = _promote(a, b)
+        return _zip_leaves(
+            a, b, lambda u, v: jnp.isclose(u, v, rtol=rtol, atol=atol)
+        )
+    if isinstance(a, SymmetricTensor) and _is_scalar(b):
+        s = jnp.asarray(b)
+        return _map_leaves(a, lambda u: jnp.isclose(u, s, rtol=rtol, atol=atol))
+    if isinstance(b, SymmetricTensor) and _is_scalar(a):
+        s = jnp.asarray(a)
+        return _map_leaves(b, lambda v: jnp.isclose(s, v, rtol=rtol, atol=atol))
+    raise TypeError("isclose needs SymmetricTensor or scalar operands")
+
+
 def array_equal(a, b) -> bool:
     if isinstance(a, SymmetricTensor) and isinstance(b, SymmetricTensor):
         if (a.rank, a.dim) != (b.rank, b.dim):

@@ -20,7 +20,6 @@ multisets C with multiplicity γ_C:
 from __future__ import annotations
 
 import itertools
-import math
 from functools import lru_cache
 from typing import Tuple
 
@@ -28,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config, logger
 from ..core.base import SymmetricTensor
 from ..core.dense import DenseSymmetricTensor
 from ..core.flat import FlatSymmetricTensor

@@ -14,13 +14,11 @@ subclasses (same trick as the reference, tests/test_permcls_numpy.py:39).
 from __future__ import annotations
 
 import itertools
-import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.base import SymmetricTensor
 from ..ops.symmetrize import symmetrize
 from ..utils import combinatorics as comb
 from .utils import random_symmetric

@@ -12,7 +12,6 @@ reuse, so jit tracing does not recompile.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 from typing import Tuple
 

@@ -388,3 +388,17 @@ def test_permcls_per_class_contraction_path(rng):
     dense = np.asarray(A.todense())
     expect = np.einsum("ijk,i,j,k->", dense, x, x, x)
     np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+
+def test_isclose_elementwise(rng):
+    da = random_sym(2, 4, rng)
+    A = st.FlatSymmetricTensor.from_dense(da)
+    B = A.at[0, 1].add(1.0)
+    close = symalg.isclose(A, B)
+    vals = np.asarray(close.data)
+    assert vals.dtype == bool
+    assert vals.sum() == len(vals) - 1  # exactly one component differs
+    allc = symalg.isclose(A, A)
+    assert np.asarray(allc.data).all()
+    sc = symalg.isclose(A, 0.0)
+    assert np.asarray(sc.data).dtype == bool
