@@ -29,13 +29,41 @@ import time
 import numpy as np
 
 
-def median_time(fn, repeats):
-    times = []
-    for _ in range(repeats):
+def sync_roundtrip_floor():
+    """Measured host↔device readback latency. Through remote-attached TPUs
+    block_until_ready does not actually synchronize — the only reliable
+    fence is a value readback, which costs a fixed roundtrip that must be
+    subtracted from timings."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda v: v + 1.0)
+    float(tiny(jnp.zeros(())))
+    ts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        float(tiny(jnp.zeros(())))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def device_time(fn, repeats, floor):
+    """Median per-call device time: dispatch `repeats` dependent calls,
+    force completion with ONE scalar readback, subtract the readback floor."""
+    import jax.numpy as jnp
+
+    float(jnp.sum(fn()))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(repeats):
+            r = jnp.sum(fn())
+            acc = r if acc is None else acc + r
+        float(acc)
+        ts.append(time.perf_counter() - t0)
+    total = float(np.median(ts))
+    return max((total - floor) / repeats, 1e-9)
 
 
 def main():
@@ -73,10 +101,8 @@ def main():
             out = out @ xb
         return out
 
-    dense_chain(dense, xb).block_until_ready()
-    t_dense_small = median_time(
-        lambda: dense_chain(dense, xb).block_until_ready(), repeats
-    )
+    floor = sync_roundtrip_floor()
+    t_dense_small = device_time(lambda: dense_chain(dense, xb), repeats, floor)
     dense_small_flops = sum(2.0 * d_base**k for k in range(1, rank + 1))
     dense_gflops = dense_small_flops / t_dense_small / 1e9
     t_dense_est = dense_flops / (dense_gflops * 1e9)
@@ -102,11 +128,7 @@ def main():
 
     # our timing: the views fast path (cached per-group matrices, cached
     # jitted evaluator — the intended repeated-evaluation usage)
-    out = poly_eval_flat_fast(A, x)
-    jax.block_until_ready(out)  # build views + compile + warmup
-    t_ours = median_time(
-        lambda: jax.block_until_ready(poly_eval_flat_fast(A, x)), repeats
-    )
+    t_ours = device_time(lambda: poly_eval_flat_fast(A, x), repeats, floor)
 
     value = dense_flops / t_ours / 1e9
     vs_baseline = t_dense_est / t_ours

@@ -99,9 +99,17 @@ def _pallas_eval_jitted(rank: int, dim: int, interpret: bool):
         total = jnp.zeros((), dtype=ct)
         for j in range(dim):
             Tj = T[j]
-            tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
-            u = _group_pass(views[j], tri_j, dim - j, interpret)
             Pj = P[j]
+            tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
+            V = views[j]
+            if V.shape == (Tj, Pj) and Tj != Pj:
+                # narrow-tail transposed view: jnp math (tiny groups)
+                rl = dim - j
+                u = jnp.stack(
+                    [tri_j @ V, tri_j[:rl] @ V[:rl], V[0] * tri_j[0]]
+                )
+            else:
+                u = _group_pass(V, tri_j, dim - j, interpret)
             q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
             c1 = x[j] / (q + 1)
             c2 = c1 * (1.0 / (q + 2) - 1.0)

@@ -61,8 +61,21 @@ def _head_weights(t, x: jnp.ndarray, rank: int):
     return w, mx, run.astype(jnp.int32)
 
 
+# Groups whose tail width is below this are stored transposed (T_j, P_j):
+# a (P_j, T_j) matrix with T_j ≪ 128 lanes wastes most of every memory tile
+# (measured 10 GB/s effective on the tail groups at rank-6 dim-100 vs
+# ~500 GB/s on wide groups), while transposed the long head axis fills the
+# lanes and only the ≤8-sublane padding is lost.
+_TRANSPOSE_BELOW = 128
+
+
+def _is_transposed(Pj: int, Tj: int) -> bool:
+    return Tj < _TRANSPOSE_BELOW <= Pj
+
+
 def group_views(A: FlatSymmetricTensor):
-    """Per-group matrices [(P_j, T_j), …] of the packed values.
+    """Per-group matrices of the packed values: (P_j, T_j), or (T_j, P_j)
+    transposed for narrow tail groups (see _TRANSPOSE_BELOW).
 
     Built once per tensor (cached on the instance — tensors are immutable)
     with a jitted slice/reshape prep. Evaluation over views needs no
@@ -83,7 +96,8 @@ def group_views(A: FlatSymmetricTensor):
                 vals, (goff[j],), (goff[j] + P[j] * T[j],)
             )
             chunk = jax.lax.optimization_barrier(chunk)
-            out.append(chunk.reshape(P[j], T[j]))
+            V = chunk.reshape(P[j], T[j])
+            out.append(V.T if _is_transposed(P[j], T[j]) else V)
         return tuple(out)
 
     views = prep(A.data)
@@ -144,10 +158,16 @@ def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
         Tj = T[j]
         V = get_V(j, ct)
         tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
-        u_full = V @ tri_j
         row_len = d - j
-        u_row = V[:, :row_len] @ tri_j[:row_len]
-        u_cell = V[:, 0] * tri_j[0]
+        if V.shape == (Tj, P[j]) and Tj != P[j]:
+            # transposed narrow-tail view
+            u_full = tri_j @ V
+            u_row = tri_j[:row_len] @ V[:row_len]
+            u_cell = V[0] * tri_j[0]
+        else:
+            u_full = V @ tri_j
+            u_row = V[:, :row_len] @ tri_j[:row_len]
+            u_cell = V[:, 0] * tri_j[0]
         Pj = P[j]
         q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
         c1 = x[j] / (q + 1)
