@@ -146,9 +146,20 @@ def _barrier_view_getter(vals, r, d):
         # full value array as (n/T, T) — whose TPU tiled layout pads the
         # lane dimension to 128 (a 29 GB allocation at rank-6 dim-100).
         chunk = jax.lax.optimization_barrier(chunk)
-        return chunk.reshape(Pj, Tj).astype(ct)
+        return chunk.reshape(Pj, Tj)
 
     return get_V
+
+
+def _dot1(mat, vec, contract_axis, ct):
+    """mat·vec contracting one axis, accumulating in ct without upcasting
+    the (possibly bf16) matrix in memory."""
+    return jax.lax.dot_general(
+        mat,
+        vec.astype(mat.dtype),
+        (((contract_axis,), (0,)), ((), ())),
+        preferred_element_type=ct,
+    )
 
 
 def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
@@ -160,14 +171,14 @@ def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
         tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
         row_len = d - j
         if V.shape == (Tj, P[j]) and Tj != P[j]:
-            # transposed narrow-tail view
-            u_full = tri_j @ V
-            u_row = tri_j[:row_len] @ V[:row_len]
-            u_cell = V[0] * tri_j[0]
+            # transposed narrow-tail view: contract the leading axis
+            u_full = _dot1(V, tri_j, 0, ct)
+            u_row = _dot1(V[:row_len], tri_j[:row_len], 0, ct)
+            u_cell = V[0].astype(ct) * tri_j[0]
         else:
-            u_full = V @ tri_j
-            u_row = V[:, :row_len] @ tri_j[:row_len]
-            u_cell = V[:, 0] * tri_j[0]
+            u_full = _dot1(V, tri_j, 1, ct)
+            u_row = _dot1(V[:, :row_len], tri_j[:row_len], 1, ct)
+            u_cell = V[:, 0].astype(ct) * tri_j[0]
         Pj = P[j]
         q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
         c1 = x[j] / (q + 1)
@@ -195,7 +206,7 @@ def _views_eval_jitted(rank: int, dim: int):
         tri = tri * (1.0 - 0.5 * (ta == tb).astype(ct))
         M, maxel, maxrun = _head_weights(t, x, rank)
         return _eval_core(
-            lambda j, c: views[j].astype(c), tri, x, M, maxel, maxrun,
+            lambda j, c: views[j], tri, x, M, maxel, maxrun,
             rank, dim, ct,
         )
 

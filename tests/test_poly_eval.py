@@ -98,3 +98,20 @@ def test_pallas_path_matches(rng):
         got = float(poly_eval_flat_pallas(A, x))
         ref = float(poly_eval_flat(A, x))
         np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_bf16_storage_eval(rng):
+    rank, dim = 4, 8
+    n = st.utils.indep_size(rank, dim)
+    data = jnp.asarray(rng.normal(size=n), jnp.float32)
+    A32 = st.FlatSymmetricTensor._raw(rank, dim, data)
+    A16 = A32.astype(jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=dim), jnp.float32)
+    ref = float(poly_eval_flat(A32, x))
+    got = float(poly_eval_flat(A16, x))
+    # bf16 storage, f32 accumulation: ~3 significant digits
+    np.testing.assert_allclose(got, ref, rtol=2e-2)
+    got_fast = float(
+        __import__("symtensor_tpu.kernels.poly_eval", fromlist=["x"]).poly_eval_flat_fast(A16, x)
+    )
+    np.testing.assert_allclose(got_fast, got, rtol=1e-6)
