@@ -48,23 +48,24 @@ def _group_pass(V: jnp.ndarray, tri_j: jnp.ndarray, row_len: int,
     from jax.experimental.pallas import tpu as pltpu
 
     P, T = V.shape
-    # head-tile size: keep the V block under ~2 MB of VMEM
-    PB = max(8, min(512, (2 * 1024 * 1024 // (4 * T)) // 8 * 8))
-    PB = min(PB, _round_up(P, 8))
+    # Mosaic requires the block's lane dim to be a multiple of 128 or span
+    # the array. Budget ~1.5 MB per block: Mosaic double-buffers the input
+    # window and materializes the elementwise product on the VMEM stack, so
+    # the true footprint is ~3-4x the block size (observed 17 MB scoped-vmem
+    # OOM with 6 MB blocks).
+    budget = int(1.5 * 1024 * 1024)
+    if P * T * 4 <= budget:
+        PB = P
+    else:
+        PB = max(128, (budget // (4 * T)) // 128 * 128)
     grid = (-(-P // PB),)
 
     def kernel(tri_ref, v_ref, out_ref):
-        V_blk = v_ref[:, :]
-        tri = tri_ref[0, :]
-        prod = V_blk * tri[None, :]
-        full = jnp.sum(prod, axis=1)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        mask = (col_ids < row_len).astype(V_blk.dtype)
-        row = jnp.sum(prod * mask, axis=1)
-        cell = V_blk[:, 0] * tri[0]
-        out_ref[0, :] = full
-        out_ref[1, :] = row
-        out_ref[2, :] = cell
+        prod = v_ref[:, :] * tri_ref[0, :][None, :]
+        out_ref[0, :] = jnp.sum(prod, axis=1)
+        # row_len is static per group: a static slice, no mask temp
+        out_ref[1, :] = jnp.sum(prod[:, :row_len], axis=1)
+        out_ref[2, :] = prod[:, 0]
 
     return pl.pallas_call(
         kernel,
