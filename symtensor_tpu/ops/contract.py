@@ -250,21 +250,41 @@ def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray):
     t_in = A.tables
     t_out = tables(r, d_out)
 
+    # Peak memory: H = (P_t, N_k, d_out) must be materialized (its rows are
+    # gathered by parent); the gather G = (chunk, N_k, d) is bounded by
+    # chunking the head axis with lax.map. (The fully-blocked variant that
+    # also avoids H is round-2 work — see docs/design.md.)
+    import os
+
+    budget = int(
+        os.environ.get("SYMTENSOR_BASIS_CHUNK_ELEMS", 2**27)
+    )  # elements per gather chunk (512 MB f32 default)
+
     # U_t: (P_t, N_{r-t}) — t new (output) symmetric indices, r-t original.
     U = A.data.reshape(1, -1)
     for t in range(r):
         k = r - t - 1  # remaining original indices after this step
-        tk = tables(k, d) if k >= 1 else None
         if k >= 1:
             tbl = t_in.insert_table(k)  # (N_k, d)
-            _check_table(
-                U.shape[0] * tbl.shape[0] * d, f"basis_change step {t}"
-            )
-            G = U[:, tbl]  # (P_t, N_k, d)
+            N_k = tbl.shape[0]
+            _check_table(U.shape[0] * N_k * d_out, f"basis_change step {t}")
+            P_t = U.shape[0]
+            CH = max(1, min(P_t, budget // (N_k * d)))
+            if CH >= P_t:
+                H = jnp.einsum("pji,ib->pjb", U[:, tbl], W)
+            else:
+                nch = -(-P_t // CH)
+                pad = nch * CH - P_t
+                U_pad = jnp.concatenate(
+                    [U, jnp.zeros((pad, U.shape[1]), U.dtype)]
+                ) if pad else U
+                H = jax.lax.map(
+                    lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], W),
+                    U_pad.reshape(nch, CH, -1),
+                ).reshape(nch * CH, N_k, d_out)[:P_t]
         else:
             # Last step: one original index left, U is (P_{r-1}, d).
-            G = U.reshape(U.shape[0], 1, d)
-        H = jnp.einsum("pji,ib->pjb", G, W)  # (P_t, N_k, d_out)
+            H = jnp.einsum("pji,ib->pjb", U.reshape(U.shape[0], 1, d), W)
         par, mx = t_out.mono_tables(t + 1)
         U = H[par, :, mx]  # (P_{t+1}, N_k)
 

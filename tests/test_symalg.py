@@ -402,3 +402,13 @@ def test_isclose_elementwise(rng):
     assert np.asarray(allc.data).all()
     sc = symalg.isclose(A, 0.0)
     assert np.asarray(sc.data).dtype == bool
+
+
+def test_basis_change_chunked_matches(rng, monkeypatch):
+    monkeypatch.setenv("SYMTENSOR_BASIS_CHUNK_ELEMS", "1024")
+    dense = random_sym(4, 8, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = jnp.asarray(rng.normal(size=(8, 8)))
+    out = symalg.contract_all_indices_with_matrix(A, W)
+    oracle = np.einsum("abcd,ai,bj,ck,dl->ijkl", dense, *([np.asarray(W)] * 4))
+    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
