@@ -371,6 +371,12 @@ class DecompSymmetricTensor(SymmetricTensor):
         decomp_symmtensor.py:1151)."""
         if (self.rank, self.dim) != (other.rank, other.dim):
             raise ValueError("rank/dim mismatch")
+        if self.rank == 0:
+            # k == 0: both slicers below would be the empty tuple and the
+            # second set() would overwrite the first — add weights directly.
+            return self._raw(
+                0, self.dim, self.weights + other.weights, self.factors, ()
+            )
         m = self.find_common_multiplicities(other)
         a = self.match_multiplicities(m)
         b = other.match_multiplicities(m)

@@ -31,10 +31,12 @@ _tried = False
 
 
 def _compile() -> bool:
+    # No -march=native: the .so is built locally per machine (and excluded
+    # from version control), but a cached build may still travel with a
+    # copied checkout — keep the ISA baseline portable.
     cmd = [
         "g++",
         "-O3",
-        "-march=native",
         "-shared",
         "-fPIC",
         "-std=c++17",
@@ -62,8 +64,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("SYMTENSOR_NO_NATIVE"):
             return None
+        # >= (not >): a fresh checkout gives source and any stray cached
+        # binary identical mtimes — rebuild rather than trusting a binary
+        # from another machine.
         if not _LIB_PATH.exists() or (
-            _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+            _SRC.stat().st_mtime >= _LIB_PATH.stat().st_mtime
         ):
             if not _compile():
                 return None

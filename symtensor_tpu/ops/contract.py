@@ -153,16 +153,20 @@ def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:
         return total
     t = A.tables
     try:
+        # Accumulate separately: if any class_rep exceeds the table guard we
+        # must fall back for ALL vector classes (adding a partial sum first
+        # would double-count the classes already processed).
+        vec_total = jnp.zeros((), dtype=total.dtype)
         for cnts, leaf in vector_part.items():
             rep_c = t.class_rep(cnts)  # (s_σ, r) int32 device
             mono = x[rep_c[:, 0]]
             for k in range(1, A.rank):
                 mono = mono * x[rep_c[:, k]]
             gamma = comb.class_multiplicity(cnts)
-            total = total + gamma * jnp.dot(
+            vec_total = vec_total + gamma * jnp.dot(
                 leaf.astype(total.dtype), mono.astype(total.dtype)
             )
-        return total
+        return total + vec_total
     except MemoryError:
         pass
     # tables too large → zero the scalar classes and go through packed
@@ -207,6 +211,10 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
     xs = jnp.asarray(xs)
     if xs.ndim != 2:
         raise ValueError(f"xs must be (batch, dim); got {xs.shape}")
+    if A.rank > 0 and xs.shape[1] != A.dim:
+        raise ValueError(
+            f"xs second axis {xs.shape[1]} must equal dim {A.dim}"
+        )
     if A.format == "flat":
         from ..kernels.poly_eval import poly_eval_flat_batched
 

@@ -108,10 +108,12 @@ def binary(op_name: str, a, b, reverse: bool = False):
         return decomp_result
 
     if a_sym and b_sym:
+        # rank-0 operands broadcast as scalars (format-agnostic: permcls
+        # stores a dict and decomp has no .data, so go through toflat).
         if a.rank == 0 and b.rank != 0:
-            return binary(op_name, a.data.reshape(()), b)
+            return binary(op_name, a.toflat().data.reshape(()), b)
         if b.rank == 0 and a.rank != 0:
-            return binary(op_name, a, b.data.reshape(()))
+            return binary(op_name, a, b.toflat().data.reshape(()))
         if (a.rank, a.dim) != (b.rank, b.dim):
             raise ValueError(
                 f"shape mismatch: rank/dim ({a.rank},{a.dim}) vs "

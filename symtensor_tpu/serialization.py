@@ -97,8 +97,15 @@ def from_json(s: Union[str, bytes]) -> SymmetricTensor:
     return from_dict(json.loads(s))
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; normalize so that
+    save/load agree for any input path."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def save(path: str, t: SymmetricTensor) -> None:
     """Binary .npz checkpoint (use orbax for full-pytree training state)."""
+    path = _npz_path(path)
     arrays = {}
     meta = {"format": t.format, "rank": t.rank, "dim": t.dim}
     if t.format in ("dense", "flat"):
@@ -115,6 +122,7 @@ def save(path: str, t: SymmetricTensor) -> None:
 
 
 def load(path: str) -> SymmetricTensor:
+    path = _npz_path(path)
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["__meta__"]))
         fmt, rank, dim = meta["format"], meta["rank"], meta["dim"]

@@ -137,12 +137,11 @@ class Tables:
         position, in storage order."""
 
         def build():
-            _check_table(self.n * max(self.rank, 1), "rep_indices")
             if self.rank == 0:
                 return jnp.zeros((1, 0), dtype=jnp.int32)
-            if self.rank == 1:
-                return _i32(np.arange(self.dim, dtype=np.int64)[:, None])
-            return _i32(self.layout.rep_indices())
+            # reuse the host table (native-accelerated, memoized) instead of
+            # re-enumerating
+            return _i32(self.rep_np())
 
         return self._memo("rep", build)
 

@@ -266,3 +266,16 @@ def test_decomp_mixed_format_interop(rng):
     out2 = symalg.tensordot(t, F, axes=1)
     oracle = np.asarray(symmetrize(np.tensordot(da, da, axes=1)))
     np.testing.assert_allclose(np.asarray(out2.todense()), oracle, atol=1e-9)
+
+
+def test_rank0_decomp_add(rng):
+    a = st.DecompSymmetricTensor(
+        rank=0, dim=3, weights=jnp.asarray(2.0), factors=jnp.zeros((1, 3)),
+        multiplicities=(), dtype=jnp.float64,
+    )
+    b = st.DecompSymmetricTensor(
+        rank=0, dim=3, weights=jnp.asarray(5.0), factors=jnp.zeros((1, 3)),
+        multiplicities=(), dtype=jnp.float64,
+    )
+    assert float(a.add_decomp(b).todense()) == 7.0
+    assert float((a - b).todense()) == -3.0

@@ -75,3 +75,11 @@ def test_pytree_checkpoint_shape(rng):
     as_np = [np.asarray(l) for l in leaves]  # what a checkpointer stores
     B = jax.tree.unflatten(treedef, [jnp.asarray(a) for a in as_np])
     assert A.array_equal(B)
+
+
+def test_npz_path_without_suffix(tmp_path, rng):
+    A = st.FlatSymmetricTensor.from_dense(random_sym(2, 3, rng))
+    p = str(tmp_path / "noext")
+    ser.save(p, A)
+    B = ser.load(p)
+    assert A.array_equal(B)

@@ -412,3 +412,65 @@ def test_basis_change_chunked_matches(rng, monkeypatch):
     out = symalg.contract_all_indices_with_matrix(A, W)
     oracle = np.einsum("abcd,ai,bj,ck,dl->ijkl", dense, *([np.asarray(W)] * 4))
     np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+
+
+def test_permcls_contraction_fallback_no_double_count(rng, monkeypatch):
+    """Regression: MemoryError mid-loop must not double-count the classes
+    already evaluated through per-class tables."""
+    from symtensor_tpu.config import config as cfg
+
+    dim = 7
+    n_iij = comb.class_size((2, 1), dim)
+    n_ijk = comb.class_size((1, 1, 1), dim)
+    A = st.PermClsSymmetricTensor(
+        rank=3, dim=dim,
+        data={"iij": jnp.asarray(rng.normal(size=n_iij)),
+              "ijk": jnp.asarray(rng.normal(size=n_ijk))},
+        dtype=jnp.float64,
+    )
+    x = rng.normal(size=dim)
+    want = float(symalg.contract_all_indices_with_vector(A, x))
+    # force the fallback after the first class by shrinking the table guard
+    # (class_rep tables are cached per (rank,dim) — use a fresh dim to avoid
+    # cache hits)
+    dim2 = 9
+    n_iij2 = comb.class_size((2, 1), dim2)
+    n_ijk2 = comb.class_size((1, 1, 1), dim2)
+    B = st.PermClsSymmetricTensor(
+        rank=3, dim=dim2,
+        data={"iij": jnp.asarray(rng.normal(size=n_iij2)),
+              "ijk": jnp.asarray(rng.normal(size=n_ijk2))},
+        dtype=jnp.float64,
+    )
+    x2 = rng.normal(size=dim2)
+    dense = np.asarray(B.todense())
+    expect = np.einsum("ijk,i,j,k->", dense, x2, x2, x2)
+    monkeypatch.setattr(
+        cfg, "max_table_entries", n_iij2 * 3 + 1
+    )  # first class fits, second does not
+    got = float(symalg.contract_all_indices_with_vector(B, x2))
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+
+def test_batched_contract_dim_mismatch():
+    A = st.FlatSymmetricTensor.zeros(3, 5)
+    with pytest.raises(ValueError):
+        symalg.contract_all_indices_with_vector_batched(A, jnp.ones((2, 3)))
+
+
+def test_rank0_broadcast_all_formats(rng):
+    dense = random_sym(2, 3, rng)
+    for fmt in FORMATS:
+        A = fmt.from_dense(dense)
+        s = fmt.from_dense(np.asarray(2.0))
+        out = A + s
+        np.testing.assert_allclose(
+            np.asarray(out.todense()), dense + 2.0, atol=1e-12,
+            err_msg=fmt.format,
+        )
+    # rank-0 permcls built via topermcls
+    s0 = st.FlatSymmetricTensor.from_dense(np.asarray(3.0)).topermcls()
+    A = st.FlatSymmetricTensor.from_dense(dense)
+    np.testing.assert_allclose(
+        np.asarray((A * s0).todense()), 3 * dense, atol=1e-12
+    )
