@@ -112,21 +112,19 @@ def symmetric_outer(a, b, fn: str = "multiply"):
     f = ops[fn]
 
     # Scalar operands short-circuit (reference outer handles scalars,
-    # symalg.py:295-316).
+    # symalg.py:295-316). fn.outer with a scalar operand is elementwise
+    # against the other operand, keeping argument order.
     if ra == 0 or rb == 0:
         if ra == 0 and rb == 0:
             out = FlatSymmetricTensor._raw(0, 1, f(af.data, bf.data))
-            return _wrap_result(out, a, b)
-        big, small, sdata = (
-            (bf, af, af.data[0]) if ra == 0 else (af, bf, bf.data[0])
-        )
-        if fn == "subtract" and ra == 0:
-            data = f(sdata, big.data)
-        elif fn == "subtract":
-            data = f(big.data, sdata)
+        elif ra == 0:
+            out = FlatSymmetricTensor._raw(
+                bf.rank, bf.dim, f(af.data[0], bf.data)
+            )
         else:
-            data = f(big.data, sdata)
-        out = FlatSymmetricTensor._raw(big.rank, big.dim, data)
+            out = FlatSymmetricTensor._raw(
+                af.rank, af.dim, f(af.data, bf.data[0])
+            )
         return _wrap_result(out, a, b)
 
     if af.dim != bf.dim:

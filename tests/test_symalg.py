@@ -474,3 +474,29 @@ def test_rank0_broadcast_all_formats(rng):
     np.testing.assert_allclose(
         np.asarray((A * s0).todense()), 3 * dense, atol=1e-12
     )
+
+
+def test_scalar_outer_order(rng):
+    da = random_sym(2, 3, rng)
+    A = st.FlatSymmetricTensor.from_dense(da)
+    out = symalg.subtract.outer(2.0, A)
+    np.testing.assert_allclose(np.asarray(out.todense()), 2.0 - da, atol=1e-12)
+    out = symalg.subtract.outer(A, 2.0)
+    np.testing.assert_allclose(np.asarray(out.todense()), da - 2.0, atol=1e-12)
+
+
+def test_fallback_counters(rng):
+    from symtensor_tpu.utils import profiling
+
+    profiling.reset_counters()
+    da = random_sym(2, 3, rng)
+    D = st.DecompSymmetricTensor.from_matrix(jnp.asarray(da), cutoff=0.0)
+    F = st.FlatSymmetricTensor.from_dense(da)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _ = D * F  # decomp expands to packed
+    assert profiling.op_counters["elementwise.decomp_to_flat"] >= 1
+    profiling.reset_counters()
+    assert not profiling.op_counters
