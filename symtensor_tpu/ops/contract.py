@@ -417,35 +417,17 @@ def contract_tensor_list(
         T = MA @ X  # (N_{r-1}, n_m)
         return _combine_bilinear(T, A.rank - 1, m, d)
 
-    # general n: loop contraction multisets with multinomial weights
-    from ..utils.profiling import count_fallback
-
-    count_fallback(
-        "contract_tensor_list.multiset_loop",
-        f"(n_times={n_times} uses a host loop over contraction multisets)",
-    )
+    # general n ≥ 2: peel one contraction index and recurse —
+    # B = Σ_i sym( contract_tensor_list(A[i,…], χ, n−1) ⊗ χ_i )
+    # (nested symmetrizations collapse into the outer one, so summing over
+    # ordered i with the vectorized inner path is exact; d iterations of
+    # the n=1 matmul path instead of C(d+n−1, n) multiset chains).
     out = None
-    for M in _multisets(values, n_times):
-        # #tuples mapping to this multiset = n!/∏counts!
-        gamma = math.factorial(n_times)
-        for c in Counter(M).values():
-            gamma //= math.factorial(c)
-        base = (
-            Af._partial(tuple(M))
-            if A.rank - n_times > 0
-            else FlatSymmetricTensor._raw(
-                0, 1, Af.element(tuple(M)).reshape(1)
-            )
+    for i in values:
+        Ai = Af._partial((i,))
+        Ci = contract_tensor_list(
+            Ai, tensor_list, n_times=n_times - 1, rule=rule
         )
-        chain = base
-        for i in M:
-            chain = outer_mod.symmetric_outer(chain, tensor_list[i])
-        scaled = chain * float(gamma)
-        out = scaled if out is None else out + scaled
+        term = outer_mod.symmetric_outer(Ci, tensor_list[i])
+        out = term if out is None else out + term
     return out
-
-
-def _multisets(values, k):
-    import itertools
-
-    return itertools.combinations_with_replacement(values, k)
