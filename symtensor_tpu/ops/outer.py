@@ -133,6 +133,17 @@ def symmetric_outer(a, b, fn: str = "multiply"):
     r = ra + rb
     ta, tb = _subset_tables(ra, rb, dim)
     n_sub = ta.shape[0]
+
+    if fn == "multiply":
+        from ..kernels import gather_mm
+
+        if gather_mm.fits(af.data.shape[0], bf.data.shape[0]):
+            # MXU one-hot gathers: ~40× faster than XLA's scalar gathers
+            # on TPU at these table sizes (docs/benchmarks.md).
+            vals = gather_mm.gather_combine(af.data, bf.data, ta, tb)
+            out = FlatSymmetricTensor._raw(r, dim, vals)
+            return _wrap_result(out, a, b)
+
     acc = None
     for s in range(n_sub):
         term = f(af.data[ta[s]], bf.data[tb[s]])

@@ -115,3 +115,42 @@ def test_bf16_storage_eval(rng):
         __import__("symtensor_tpu.kernels.poly_eval", fromlist=["x"]).poly_eval_flat_fast(A16, x)
     )
     np.testing.assert_allclose(got_fast, got, rtol=1e-6)
+
+
+def test_gather_mm_kernel(rng):
+    from symtensor_tpu.kernels.gather_mm import gather_combine
+
+    for (n_a, n_b, S, n_out) in [(21, 21, 6, 126), (100, 250, 6, 1000), (300, 300, 12, 2000)]:
+        a = jnp.asarray(rng.normal(size=n_a), jnp.float32)
+        b = jnp.asarray(rng.normal(size=n_b), jnp.float32)
+        ia = jnp.asarray(rng.integers(0, n_a, (S, n_out)), jnp.int32)
+        ib = jnp.asarray(rng.integers(0, n_b, (S, n_out)), jnp.int32)
+        got = np.asarray(gather_combine(a, b, ia, ib))
+        ref = np.asarray((a[ia] * b[ib]).mean(0))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # custom VJP matches the jnp formulation's gradient
+    f_kernel = lambda a: gather_combine(a, b, ia, ib).sum()
+    f_jnp = lambda a: (a[ia] * b[ib]).mean(0).sum()
+    ga = jax.grad(f_kernel)(a)
+    gr = jax.grad(f_jnp)(a)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-5, atol=1e-6)
+
+
+def test_outer_grad_through_mxu_gathers(rng):
+    from symtensor_tpu.ops.symmetrize import symmetrize as symz
+
+    dense = np.asarray(symz(rng.normal(size=(4, 4))))
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense, jnp.float32))
+
+    def loss(A):
+        import symtensor_tpu.ops as symalg
+
+        return (symalg.multiply.outer(A, A).data ** 2).sum()
+
+    g = jax.grad(loss)(A)
+    assert isinstance(g, st.FlatSymmetricTensor)
+    # numeric check
+    eps = 1e-3
+    A2 = st.FlatSymmetricTensor._raw(2, 4, A.data.at[1].add(eps))
+    num = (loss(A2) - loss(A)) / eps
+    np.testing.assert_allclose(float(num), float(g.data[1]), rtol=2e-2)
