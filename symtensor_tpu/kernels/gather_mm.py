@@ -1,17 +1,24 @@
 """Gather via one-hot MXU matmuls — the TPU trick for small source tables.
 
-The subset-identity outer product gathers ~C(r, ra)·n_out elements from
-value tables that are tiny (C(d+ra−1, ra) entries). XLA lowers those
-gathers to the scalar unit (~130M elements/s measured on v5e); rebuilding
-each gather as (one-hot block) @ (source vector) moves the work to the MXU:
-the one-hot lives only in VMEM and the matmul runs at matrix-unit speed.
-Two-level decomposition (idx = hi·128 + lo) keeps the one-hot narrow, and
-everything keeps the output axis in lanes (no index relayouts). Measured 5×
-faster than XLA's gathers at BASELINE config C1 sizes (468 → 93 ms); MXU
-matmuls need precision=HIGHEST or the f32 source values round to bf16.
+The subset-identity outer product and symmetrized tensordot gather
+R·n_out elements (R = #position-subsets, × #contraction-multisets for
+tensordot) from value tables that are tiny (C(d+r−1, r) entries for small
+operand ranks). XLA lowers such gathers to the scalar unit (~130M
+elements/s measured on v5e); rebuilding each gather as one-hot matmuls
+moves the work to the MXU:
 
-Only profitable when both source tables fit comfortably in VMEM; callers
-gate on `fits(n_a, n_b)`.
+- two-level selection: idx = hi·128 + lo — a narrow (H, BM) one-hot matmul
+  picks each output's 128-wide source chunk, a (128, BM) lane one-hot picks
+  within it;
+- the output axis stays in LANES throughout (index vectors never relayout
+  into sublanes, which Mosaic mis-lowers);
+- MXU matmuls use precision=HIGHEST — one-pass matmuls round f32 operands
+  to bf16 (measured 1e-3 errors);
+- a fori_loop over rows keeps compile size independent of R.
+
+Measured 5× faster than XLA's gathers at BASELINE config C1 sizes
+(468 → 93 ms). Only profitable when the source tables fit in VMEM; callers
+gate on `fits(...)`.
 """
 
 from __future__ import annotations
@@ -20,11 +27,12 @@ import jax
 import jax.numpy as jnp
 
 _BM = 128  # output elements per block
-_MAX_SRC = 8192  # per-table VMEM cap for the one-hot trick
+_MAX_SRC = 8192  # per-table entry cap for the one-hot trick
+_MAX_ROWS = 4096  # cap on gather rows per output element
 
 
-def fits(n_a: int, n_b: int) -> bool:
-    return n_a <= _MAX_SRC and n_b <= _MAX_SRC
+def fits(n_a: int, n_b: int, rows: int = 1) -> bool:
+    return n_a <= _MAX_SRC and n_b <= _MAX_SRC and rows <= _MAX_ROWS
 
 
 def _on_tpu() -> bool:
@@ -34,12 +42,13 @@ def _on_tpu() -> bool:
         return False
 
 
-def gather_combine(a, b, idxA, idxB, interpret=None):
-    """mean over subsets s of a[idxA[s]] * b[idxB[s]].
+def gather_combine(a, b, idxA, idxB, weights=None, interpret=None):
+    """Σ_rows w[row] · a[idxA[row]] · b[idxB[row]], per output element.
 
-    a: (n_a,), b: (n_b,), idxA/idxB: (S, n_out) int32 → (n_out,) in the
-    promoted float dtype. Equivalent to the pure-jnp expression
-    `(a[idxA] * b[idxB]).mean(0)` but gathering through the MXU.
+    a: (n_a,), b: (n_b,), idxA/idxB: (R, n_out) int32, weights: (R,) or
+    None (None → mean over rows). Equivalent to
+    `jnp.einsum('r,ro->o', w, a[idxA] * b[idxB])` but gathering through
+    the MXU.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -49,12 +58,15 @@ def gather_combine(a, b, idxA, idxB, interpret=None):
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     ct = jnp.result_type(a.dtype, b.dtype)
-    S, n_out = idxA.shape
+    R, n_out = idxA.shape
     n_a, n_b = a.shape[0], b.shape[0]
+    if weights is None:
+        weights = jnp.full((R,), 1.0 / R, dtype=ct)
+    w2 = jnp.asarray(weights, dtype=ct).reshape(R, 1)
     grid = (-(-n_out // _BM),)
 
     def as2d_T(v, n):
-        # (128, H): source chunks pre-transposed so the kernel's matmul is
+        # (128, H): source pre-transposed so the kernel matmul is
         # standard-form (contract lhs lanes with rhs sublanes)
         H = -(-n // 128)
         pad = H * 128 - n
@@ -62,21 +74,13 @@ def gather_combine(a, b, idxA, idxB, interpret=None):
             v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
         return v.reshape(H, 128).T
 
-    # Two-level gather: idx = hi·128 + lo. Select the 128-wide source chunk
-    # with a narrow one-hot through the MXU, then the lane within the chunk
-    # with a (BM, 128) one-hot on the VPU. The expensive full-width one-hot
-    # (BM × n_src compares per subset) disappears.
     Ha = -(-n_a // 128)
     Hb = -(-n_b // 128)
 
-    def kernel(a_ref, b_ref, ia_ref, ib_ref, out_ref):
-        # Keep the BM output axis in LANES throughout: one-hots are
-        # (src-chunk, BM)-shaped, so index vectors never relayout from
-        # lanes into sublanes (which Mosaic mis-lowers).
+    def kernel(a_ref, b_ref, w_ref, ia_ref, ib_ref, out_ref):
         lane_lo = jax.lax.broadcasted_iota(jnp.int32, (128, _BM), 0)
 
         def pick(srcT_ref, H, ids_row):
-            # ids_row: (1, BM) in lanes; 128 = 2**7 → bit ops, no int div
             hi = jnp.right_shift(ids_row, 7)
             lo = jnp.bitwise_and(ids_row, 127)
             oh_hi = (
@@ -86,21 +90,21 @@ def gather_combine(a, b, idxA, idxB, interpret=None):
                 srcT_ref[:, :], oh_hi,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=ct,
-                # one-pass MXU matmuls round f32 operands to bf16 (~1e-3
-                # error on gathered values); HIGHEST = bf16x3 passes
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (128, H) @ (H, BM) -> (128, BM), standard form
-            oh_lo = (lane_lo == lo).astype(ct)  # (128, BM)
+            )  # (128, BM)
+            oh_lo = (lane_lo == lo).astype(ct)
             return jnp.sum(rows_T * oh_lo, axis=0, keepdims=True)  # (1, BM)
 
-        acc = jnp.zeros((1, _BM), dtype=ct)
-        for s in range(S):
-            va = pick(a_ref, Ha, ia_ref[s : s + 1, :])
-            vb = pick(b_ref, Hb, ib_ref[s : s + 1, :])
-            acc = acc + va * vb
-        out_ref[:, :] = acc / S
+        def body(r, acc):
+            va = pick(a_ref, Ha, ia_ref[pl.ds(r, 1), :])
+            vb = pick(b_ref, Hb, ib_ref[pl.ds(r, 1), :])
+            return acc + w_ref[r, 0] * va * vb
 
-    def run(a2, b2, idxA, idxB):
+        out_ref[:, :] = jax.lax.fori_loop(
+            0, R, body, jnp.zeros((1, _BM), dtype=ct)
+        )
+
+    def run(a2, b2, w2, idxA, idxB):
         out = pl.pallas_call(
             kernel,
             grid=grid,
@@ -112,10 +116,13 @@ def gather_combine(a, b, idxA, idxB, interpret=None):
                     (128, Hb), lambda i: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (S, _BM), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (R, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
-                    (S, _BM), lambda i: (0, i), memory_space=pltpu.VMEM
+                    (R, _BM), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (R, _BM), lambda i: (0, i), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -123,25 +130,26 @@ def gather_combine(a, b, idxA, idxB, interpret=None):
             ),
             out_shape=jax.ShapeDtypeStruct((1, n_out), ct),
             interpret=interpret,
-        )(a2, b2, idxA, idxB)
+        )(a2, b2, w2, idxA, idxB)
         return out[0]
 
     # Pallas kernels are not auto-differentiable: give the op the obvious
-    # VJP (scatter-add of the cotangent against the other operand).
+    # VJP (weighted scatter-add of the cotangent against the other operand).
     @jax.custom_vjp
-    def op(av, bv):
-        return run(as2d_T(av, n_a), as2d_T(bv, n_b), idxA, idxB)
+    def op(av, bv, wv):
+        return run(as2d_T(av, n_a), as2d_T(bv, n_b), wv, idxA, idxB)
 
-    def fwd(av, bv):
-        return op(av, bv), (av, bv)
+    def fwd(av, bv, wv):
+        return op(av, bv, wv), (av, bv, wv)
 
     def bwd(res, g):
-        av, bv = res
-        gb = (g[None, :] * av[idxA]).reshape(-1) / S
-        ga = (g[None, :] * bv[idxB]).reshape(-1) / S
+        av, bv, wv = res
+        ga = (wv * (g[None, :] * bv[idxB])).reshape(-1)
+        gb = (wv * (g[None, :] * av[idxA])).reshape(-1)
         da = jax.ops.segment_sum(ga, idxA.reshape(-1), num_segments=n_a)
         db = jax.ops.segment_sum(gb, idxB.reshape(-1), num_segments=n_b)
-        return da.astype(av.dtype), db.astype(bv.dtype)
+        gw = jnp.sum(g[None, :] * av[idxA] * bv[idxB], axis=1, keepdims=True)
+        return da.astype(av.dtype), db.astype(bv.dtype), gw.astype(wv.dtype)
 
     op.defvjp(fwd, bwd)
-    return op(a.astype(ct), b.astype(ct))
+    return op(a.astype(ct), b.astype(ct), w2)

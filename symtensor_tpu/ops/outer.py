@@ -137,9 +137,9 @@ def symmetric_outer(a, b, fn: str = "multiply"):
     if fn == "multiply":
         from ..kernels import gather_mm
 
-        if gather_mm.fits(af.data.shape[0], bf.data.shape[0]):
-            # MXU one-hot gathers: ~40× faster than XLA's scalar gathers
-            # on TPU at these table sizes (docs/benchmarks.md).
+        if gather_mm.fits(af.data.shape[0], bf.data.shape[0], n_sub):
+            # MXU one-hot gathers: 5× over XLA's scalar gathers on TPU
+            # at these table sizes (docs/benchmarks.md).
             vals = gather_mm.gather_combine(af.data, bf.data, ta, tb)
             out = FlatSymmetricTensor._raw(r, dim, vals)
             return _wrap_result(out, a, b)
@@ -251,14 +251,30 @@ def tensordot(a, b, axes=1):
 
     A_tab, B_tab, gam, n_sub = _tensordot_tables(ra, rb, k, dim)
     gam = gam.astype(af.data.dtype)
-    acc = None
-    for s in range(n_sub):
-        # (n_k, n_out) gathers; weighted sum over contraction multisets
-        term = jnp.einsum(
-            "c,co->o", gam, af.data[A_tab[s]] * bf.data[B_tab[s]]
+    n_k = A_tab.shape[1]
+    from ..kernels import gather_mm
+
+    if gather_mm.fits(
+        af.data.shape[0], bf.data.shape[0], n_sub * n_k
+    ) and r_out > 0:
+        R = n_sub * n_k
+        w = jnp.tile(gam, n_sub) / n_sub
+        acc = gather_mm.gather_combine(
+            af.data,
+            bf.data,
+            A_tab.reshape(R, -1),
+            B_tab.reshape(R, -1),
+            weights=w,
         )
-        acc = term if acc is None else acc + term
-    acc = acc / n_sub
+    else:
+        acc = None
+        for s in range(n_sub):
+            # (n_k, n_out) gathers; weighted sum over contraction multisets
+            term = jnp.einsum(
+                "c,co->o", gam, af.data[A_tab[s]] * bf.data[B_tab[s]]
+            )
+            acc = term if acc is None else acc + term
+        acc = acc / n_sub
     if r_out == 0:
         out = FlatSymmetricTensor._raw(0, 1, acc.reshape(1))
     else:
