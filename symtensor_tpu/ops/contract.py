@@ -258,15 +258,15 @@ def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray):
     t_in = A.tables
     t_out = tables(r, d_out)
 
-    # Peak memory: H = (P_t, N_k, d_out) must be materialized (its rows are
-    # gathered by parent); the gather G = (chunk, N_k, d) is bounded by
-    # chunking the head axis with lax.map. (The fully-blocked variant that
-    # also avoids H is round-2 work — see docs/design.md.)
+    # Output-major Schatz steps: new-index multisets are built through
+    # their max element b, whose parents are the colex prefix of length
+    # m_b = C(b+t, t). Computing extensions only for b-chunks (and only the
+    # prefix rows each chunk needs) saves the (t+1)× FLOPs the naive
+    # all-extensions step wastes, and bounds peak memory by the chunk
+    # budget (SYMTENSOR_BASIS_CHUNK_ELEMS, 512 MB f32 default).
     import os
 
-    budget = int(
-        os.environ.get("SYMTENSOR_BASIS_CHUNK_ELEMS", 2**27)
-    )  # elements per gather chunk (512 MB f32 default)
+    budget = int(os.environ.get("SYMTENSOR_BASIS_CHUNK_ELEMS", 2**27))
 
     # U_t: (P_t, N_{r-t}) — t new (output) symmetric indices, r-t original.
     U = A.data.reshape(1, -1)
@@ -275,26 +275,43 @@ def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray):
         if k >= 1:
             tbl = t_in.insert_table(k)  # (N_k, d)
             N_k = tbl.shape[0]
-            _check_table(U.shape[0] * N_k * d_out, f"basis_change step {t}")
-            P_t = U.shape[0]
-            CH = max(1, min(P_t, budget // (N_k * d)))
-            if CH >= P_t:
-                H = jnp.einsum("pji,ib->pjb", U[:, tbl], W)
-            else:
-                nch = -(-P_t // CH)
-                pad = nch * CH - P_t
-                U_pad = jnp.concatenate(
-                    [U, jnp.zeros((pad, U.shape[1]), U.dtype)]
-                ) if pad else U
-                H = jax.lax.map(
-                    lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], W),
-                    U_pad.reshape(nch, CH, -1),
-                ).reshape(nch * CH, N_k, d_out)[:P_t]
         else:
-            # Last step: one original index left, U is (P_{r-1}, d).
-            H = jnp.einsum("pji,ib->pjb", U.reshape(U.shape[0], 1, d), W)
-        par, mx = t_out.mono_tables(t + 1)
-        U = H[par, :, mx]  # (P_{t+1}, N_k)
+            tbl = None
+            N_k = 1
+        par, mx = t_out.mono_tables(t + 1)  # colex level t+1 over d_out
+        # prefix length per max value b: m_b = multiset_count(b+1, t)
+        m = [comb.multiset_count(b + 1, t) for b in range(d_out)]
+        # output offsets per b: entries with max exactly b
+        off = [comb.multiset_count(b, t + 1) for b in range(d_out + 1)]
+        _check_table(max(m) * N_k, f"basis_change step {t}")
+
+        # greedy b-chunks under the element budget
+        chunks = []
+        b0 = 0
+        while b0 < d_out:
+            b1 = b0 + 1
+            while (
+                b1 < d_out and m[b1] * N_k * (b1 + 1 - b0) <= budget
+            ):
+                b1 += 1
+            chunks.append((b0, b1))
+            b0 = b1
+
+        segs = []
+        for b0, b1 in chunks:
+            mm = m[b1 - 1]  # parents needed by this chunk
+            if k >= 1:
+                G = U[:mm, tbl]  # (mm, N_k, d)
+                H = jnp.einsum("pji,ib->pjb", G, W[:, b0:b1])
+            else:
+                H = jnp.einsum(
+                    "pji,ib->pjb", U[:mm].reshape(mm, 1, d), W[:, b0:b1]
+                )
+            o0, o1 = off[b0], off[b1]
+            seg_par = par[o0:o1]
+            seg_mx = mx[o0:o1] - b0
+            segs.append(H[seg_par, :, seg_mx])  # (o1-o0, N_k)
+        U = jnp.concatenate(segs, axis=0)  # (P_{t+1}, N_k)
 
     # U: (P_r, 1) in colex order of output multisets → gflat order.
     out_vals = U[:, 0][t_out.colex_perm]
