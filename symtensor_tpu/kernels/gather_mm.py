@@ -35,6 +35,19 @@ def fits(n_a: int, n_b: int, rows: int = 1) -> bool:
     return n_a <= _MAX_SRC and n_b <= _MAX_SRC and rows <= _MAX_ROWS
 
 
+def usable(a, b, rows: int = 1) -> bool:
+    """Production gate: table sizes fit, operands are floating point (the
+    weighted combine would truncate integer dtypes), and we are actually on
+    a TPU — the interpreted kernel is far slower than XLA's gathers on
+    CPU/GPU backends."""
+    return (
+        _on_tpu()
+        and fits(a.shape[0], b.shape[0], rows)
+        and jnp.issubdtype(a.dtype, jnp.floating)
+        and jnp.issubdtype(b.dtype, jnp.floating)
+    )
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -60,9 +73,15 @@ def gather_combine(a, b, idxA, idxB, weights=None, interpret=None):
     ct = jnp.result_type(a.dtype, b.dtype)
     R, n_out = idxA.shape
     n_a, n_b = a.shape[0], b.shape[0]
+    if not jnp.issubdtype(ct, jnp.floating):
+        raise TypeError(
+            "gather_combine needs floating-point operands (weighted combine "
+            f"would truncate {ct})"
+        )
     if weights is None:
-        weights = jnp.full((R,), 1.0 / R, dtype=ct)
-    w2 = jnp.asarray(weights, dtype=ct).reshape(R, 1)
+        weights = jnp.full((R,), 1.0 / R, dtype=jnp.float32)
+    # SMEM scalars must be 32-bit on TPU: keep weights f32, cast in-kernel.
+    w2 = jnp.asarray(weights, dtype=jnp.float32).reshape(R, 1)
     grid = (-(-n_out // _BM),)
 
     def as2d_T(v, n):
@@ -98,7 +117,7 @@ def gather_combine(a, b, idxA, idxB, weights=None, interpret=None):
         def body(r, acc):
             va = pick(a_ref, Ha, ia_ref[pl.ds(r, 1), :])
             vb = pick(b_ref, Hb, ib_ref[pl.ds(r, 1), :])
-            return acc + w_ref[r, 0] * va * vb
+            return acc + w_ref[r, 0].astype(ct) * va * vb
 
         out_ref[:, :] = jax.lax.fori_loop(
             0, R, body, jnp.zeros((1, _BM), dtype=ct)

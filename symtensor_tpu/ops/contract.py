@@ -297,16 +297,35 @@ def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray):
             chunks.append((b0, b1))
             b0 = b1
 
+        def extend(U_pref, width, Wslice):
+            """H = einsum over the prefix rows, with the (rows, N_k, d)
+            gather itself bounded by the budget via lax.map row-chunks."""
+            mm = U_pref.shape[0]
+            if k < 1:
+                return jnp.einsum(
+                    "pji,ib->pjb", U_pref.reshape(mm, 1, d), Wslice
+                )
+            CH = max(1, min(mm, budget // (N_k * d)))
+            if CH >= mm:
+                return jnp.einsum("pji,ib->pjb", U_pref[:, tbl], Wslice)
+            nch = -(-mm // CH)
+            pad = nch * CH - mm
+            U_pad = (
+                jnp.concatenate(
+                    [U_pref, jnp.zeros((pad, U_pref.shape[1]), U_pref.dtype)]
+                )
+                if pad
+                else U_pref
+            )
+            return jax.lax.map(
+                lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], Wslice),
+                U_pad.reshape(nch, CH, -1),
+            ).reshape(nch * CH, N_k, width)[:mm]
+
         segs = []
         for b0, b1 in chunks:
             mm = m[b1 - 1]  # parents needed by this chunk
-            if k >= 1:
-                G = U[:mm, tbl]  # (mm, N_k, d)
-                H = jnp.einsum("pji,ib->pjb", G, W[:, b0:b1])
-            else:
-                H = jnp.einsum(
-                    "pji,ib->pjb", U[:mm].reshape(mm, 1, d), W[:, b0:b1]
-                )
+            H = extend(U[:mm], b1 - b0, W[:, b0:b1])
             o0, o1 = off[b0], off[b1]
             seg_par = par[o0:o1]
             seg_mx = mx[o0:o1] - b0

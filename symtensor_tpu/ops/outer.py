@@ -137,7 +137,7 @@ def symmetric_outer(a, b, fn: str = "multiply"):
     if fn == "multiply":
         from ..kernels import gather_mm
 
-        if gather_mm.fits(af.data.shape[0], bf.data.shape[0], n_sub):
+        if gather_mm.usable(af.data, bf.data, n_sub):
             # MXU one-hot gathers: 5× over XLA's scalar gathers on TPU
             # at these table sizes (docs/benchmarks.md).
             vals = gather_mm.gather_combine(af.data, bf.data, ta, tb)
@@ -254,9 +254,7 @@ def tensordot(a, b, axes=1):
     n_k = A_tab.shape[1]
     from ..kernels import gather_mm
 
-    if gather_mm.fits(
-        af.data.shape[0], bf.data.shape[0], n_sub * n_k
-    ) and r_out > 0:
+    if gather_mm.usable(af.data, bf.data, n_sub * n_k) and r_out > 0:
         R = n_sub * n_k
         w = jnp.tile(gam, n_sub) / n_sub
         acc = gather_mm.gather_combine(

@@ -500,3 +500,12 @@ def test_fallback_counters(rng):
     assert profiling.op_counters["elementwise.decomp_to_flat"] >= 1
     profiling.reset_counters()
     assert not profiling.op_counters
+
+
+def test_outer_integer_dtype(rng):
+    """Integer packed tensors must not route through the float-weighted
+    gather kernel (regression: silent zeros)."""
+    A = st.FlatSymmetricTensor._raw(1, 4, jnp.arange(1, 5, dtype=jnp.int32))
+    out = symalg.multiply.outer(A, A)
+    dense = np.multiply.outer(np.arange(1, 5), np.arange(1, 5))
+    np.testing.assert_allclose(np.asarray(out.todense()), dense, atol=1e-6)
