@@ -357,3 +357,32 @@ def test_memory_footprint(rng):
     D = st.DenseSymmetricTensor.from_dense(dense)
     assert F.memory_footprint() < D.memory_footprint()
     assert F.memory_footprint() == comb.indep_size(4, 6) * 8
+
+
+def test_copy_identity(fmt, rng):
+    A = fmt.from_dense(random_sym(2, 3, rng))
+    assert A.copy() is A  # immutable: copy is the identity
+
+
+def test_illegal_initializations(fmt):
+    with pytest.raises(ValueError):
+        fmt.zeros(2, 3).__class__(rank=None, dim=None)
+    if fmt is st.FlatSymmetricTensor:
+        with pytest.raises(ValueError):
+            fmt(rank=2, dim=3, data=np.ones(5))  # wrong packed length
+    if fmt is st.DenseSymmetricTensor:
+        with pytest.raises(ValueError):
+            fmt(rank=3, dim=3, data=np.zeros((3, 3)))  # rank mismatch
+        with pytest.raises(ValueError):
+            fmt(data=np.zeros((3, 4)))  # not hypercubic
+
+
+def test_numpy_interop_outer_densifies_with_warning(fmt, rng):
+    """Design delta vs reference (testing/api.py:481: raises): plain NumPy
+    ufuncs densify with a warning and return dense ndarrays."""
+    da = random_sym(2, 3, rng)
+    A = fmt.from_dense(da)
+    with pytest.warns(UserWarning, match="densifying"):
+        out = np.multiply.outer(np.asarray(A), np.asarray(A))
+    assert out.shape == (3, 3, 3, 3)
+    np.testing.assert_allclose(out, np.multiply.outer(da, da), atol=1e-12)
