@@ -247,31 +247,39 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     if r == 2:
         return 2.0 * (tri @ vals.astype(ct))
 
-    hsize = r - 3
-    if hsize == 0:
-        M = jnp.ones((B, 1), dtype=ct)
-        maxel = jnp.full((1,), -1, jnp.int32)
-        maxrun = jnp.zeros((1,), jnp.int32)
-    else:
-        levels = t.mono_tables_weighted(hsize)
-        M = jnp.ones((B, 1), dtype=ct)
-        for par, mx, run in levels:
-            M = M[:, par] * xs[:, mx] / run.astype(ct)
-        _, maxel, maxrun = levels[-1]
-        maxrun = maxrun.astype(jnp.int32)
+    M, maxel, maxrun = _batched_head_weights(t, xs, r, ct)
+    get_V = _barrier_view_getter(vals, r, d)
+    return _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct)
 
+
+def _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct):
+    """Shared batched epilogue: per-group GEMMs, both view orientations."""
     P, T, goff, toff = _grouped_static(r, d)
+    B = xs.shape[0]
     total = jnp.zeros((B,), dtype=ct)
+
+    def dotB(mat, tri_blk, contract_axis):
+        # (B, T) x mat → (B, P), accumulating in ct without upcasting mat
+        return jax.lax.dot_general(
+            tri_blk.astype(mat.dtype),
+            mat,
+            (((1,), (contract_axis,)), ((), ())),
+            preferred_element_type=ct,
+        )
+
     for j in range(d):
         Pj, Tj = P[j], T[j]
-        chunk = jax.lax.slice(vals, (goff[j],), (goff[j] + Pj * Tj,))
-        chunk = jax.lax.optimization_barrier(chunk)  # see poly_eval_flat
-        V = chunk.reshape(Pj, Tj).astype(ct)
-        tri_j = jax.lax.slice(tri, (0, toff[j]), (B, toff[j] + Tj,))
-        u_full = tri_j @ V.T  # (B, Pj)
+        V = get_V(j, ct)
+        tri_j = jax.lax.slice(tri, (0, toff[j]), (B, toff[j] + Tj))
         row_len = d - j
-        u_row = tri_j[:, :row_len] @ V[:, :row_len].T
-        u_cell = tri_j[:, :1] * V[None, :, 0]
+        if V.shape == (Tj, Pj) and Tj != Pj:
+            u_full = dotB(V, tri_j, 0)
+            u_row = dotB(V[:row_len], tri_j[:, :row_len], 0)
+            u_cell = tri_j[:, :1] * V[None, 0, :].astype(ct)
+        else:
+            u_full = dotB(V, tri_j, 1)
+            u_row = dotB(V[:, :row_len], tri_j[:, :row_len], 1)
+            u_cell = tri_j[:, :1] * V[None, :, 0].astype(ct)
         q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
         xj = xs[:, j : j + 1]
         c1 = xj / (q + 1)[None, :]
@@ -281,3 +289,49 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
             "bp,bp->b", M[:, :Pj], c1 * u_full + c2 * u_row + c3 * u_cell
         )
     return float(math.factorial(r)) * total
+
+
+def _batched_head_weights(t, xs, rank, ct):
+    hsize = rank - 3
+    B = xs.shape[0]
+    if hsize == 0:
+        return (
+            jnp.ones((B, 1), dtype=ct),
+            jnp.full((1,), -1, jnp.int32),
+            jnp.zeros((1,), jnp.int32),
+        )
+    levels = t.mono_tables_weighted(hsize)
+    M = jnp.ones((B, 1), dtype=ct)
+    for par, mx, run in levels:
+        M = M[:, par] * xs[:, mx] / run.astype(ct)
+    _, maxel, maxrun = levels[-1]
+    return M, maxel, maxrun.astype(jnp.int32)
+
+
+@lru_cache(maxsize=None)
+def _views_eval_batched_jitted(rank: int, dim: int):
+    from ..utils.tables import tables as get_tables
+
+    def f(views, xs):
+        t = get_tables(rank, dim)
+        xs = jnp.asarray(xs)
+        ct = jnp.result_type(views[0].dtype, xs.dtype)
+        xs = xs.astype(ct)
+        ta, tb = t.tri_pairs
+        tri = xs[:, ta] * xs[:, tb]
+        tri = tri * (1.0 - 0.5 * (ta == tb).astype(ct))[None, :]
+        M, maxel, maxrun = _batched_head_weights(t, xs, rank, ct)
+        return _eval_core_batched(
+            lambda j, c: views[j], tri, xs, M, maxel, maxrun, rank, dim, ct
+        )
+
+    return jax.jit(f)
+
+
+def poly_eval_flat_batched_fast(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
+    """Eager batched entry point over cached group views (no per-call
+    barrier copies). Use inside jit → poly_eval_flat_batched instead."""
+    if A.rank < 3:
+        return poly_eval_flat_batched(A, xs)
+    views = group_views(A)
+    return _views_eval_batched_jitted(A.rank, A.dim)(views, xs)

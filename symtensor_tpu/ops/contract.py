@@ -216,8 +216,13 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
             f"xs second axis {xs.shape[1]} must equal dim {A.dim}"
         )
     if A.format == "flat":
-        from ..kernels.poly_eval import poly_eval_flat_batched
+        from ..kernels.poly_eval import (
+            poly_eval_flat_batched,
+            poly_eval_flat_batched_fast,
+        )
 
+        if not isinstance(A.data, jax.core.Tracer):
+            return poly_eval_flat_batched_fast(A, xs)
         return poly_eval_flat_batched(A, xs)
     if A.format == "decomp":
         import string

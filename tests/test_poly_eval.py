@@ -154,3 +154,20 @@ def test_outer_grad_through_mxu_gathers(rng):
     A2 = st.FlatSymmetricTensor._raw(2, 4, A.data.at[1].add(eps))
     num = (loss(A2) - loss(A)) / eps
     np.testing.assert_allclose(float(num), float(g.data[1]), rtol=2e-2)
+
+
+def test_batched_fast_views_matches(rng):
+    from symtensor_tpu.kernels.poly_eval import (
+        poly_eval_flat_batched,
+        poly_eval_flat_batched_fast,
+    )
+
+    rank, dim = 5, 5
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n))
+    )
+    xs = jnp.asarray(rng.normal(size=(5, dim)))
+    got = np.asarray(poly_eval_flat_batched_fast(A, xs))
+    ref = np.asarray(poly_eval_flat_batched(A, xs))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
