@@ -216,13 +216,12 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
             f"xs second axis {xs.shape[1]} must equal dim {A.dim}"
         )
     if A.format == "flat":
-        from ..kernels.poly_eval import (
-            poly_eval_flat_batched,
-            poly_eval_flat_batched_fast,
-        )
+        # the barrier-copy path wins at small/medium n (dispatching the
+        # 100-leaf views tuple per call costs more than the copies, measured
+        # 2.3 ms vs 3.2 ms at rank-4 dim-100 B=1024); for very large
+        # tensors call kernels.poly_eval.poly_eval_flat_batched_fast.
+        from ..kernels.poly_eval import poly_eval_flat_batched
 
-        if not isinstance(A.data, jax.core.Tracer):
-            return poly_eval_flat_batched_fast(A, xs)
         return poly_eval_flat_batched(A, xs)
     if A.format == "decomp":
         import string
