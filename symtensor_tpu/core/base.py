@@ -73,6 +73,14 @@ class SymmetricTensor:
         return comb.indep_size(self.rank, self.dim)
 
     @property
+    def data_alignment(self) -> str:
+        """Storage-layout tag (reference base.py:782): binary ops between
+        tensors with equal alignment take the fused leafwise path. Here the
+        format name doubles as the alignment key, since every format stores
+        independent components in one canonical order."""
+        return self.format
+
+    @property
     def perm_classes(self) -> Tuple[str, ...]:
         """σ-class labels, largest multiplicity first ('iii', 'iij', …)."""
         return tuple(comb.class_label(c) for c in comb.perm_classes(self.rank))

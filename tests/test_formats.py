@@ -386,3 +386,8 @@ def test_numpy_interop_outer_densifies_with_warning(fmt, rng):
         out = np.multiply.outer(np.asarray(A), np.asarray(A))
     assert out.shape == (3, 3, 3, 3)
     np.testing.assert_allclose(out, np.multiply.outer(da, da), atol=1e-12)
+
+
+def test_data_alignment(fmt):
+    A = fmt.zeros(2, 3)
+    assert A.data_alignment == fmt.format
