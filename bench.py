@@ -82,6 +82,7 @@ def main():
     rank = int(os.environ.get("SYMTENSOR_BENCH_RANK", 6))
     dim = int(os.environ.get("SYMTENSOR_BENCH_DIM", 100))
     repeats = int(os.environ.get("SYMTENSOR_BENCH_REPEATS", 5))
+    dtype = jnp.dtype(os.environ.get("SYMTENSOR_BENCH_DTYPE", "float32"))
 
     n = st.utils.indep_size(rank, dim)
     key = jax.random.PRNGKey(0)
@@ -110,7 +111,7 @@ def main():
     gc.collect()
 
     # ---- the packed kernel at full size ----
-    vals = jax.random.normal(key, (n,), dtype=jnp.float32)
+    vals = jax.random.normal(key, (n,), dtype=dtype)
     A = st.FlatSymmetricTensor._raw(rank, dim, vals)
     x = jax.random.normal(jax.random.PRNGKey(1), (dim,), dtype=jnp.float32)
 
@@ -138,8 +139,8 @@ def main():
             {
                 "metric": (
                     f"contract_all_indices_with_vector rank-{rank} dim-{dim} "
-                    "effective dense GFLOP/s (packed grouped-GEMV kernel, "
-                    "float32, single chip)"
+                    f"effective dense GFLOP/s (packed grouped-GEMV kernel, "
+                    f"{dtype.name}, single chip)"
                 ),
                 "value": round(value, 2),
                 "unit": "GFLOP/s",

@@ -186,6 +186,32 @@ class PermClsSymmetricTensor(SymmetricTensor):
                 store[k] = jnp.broadcast_to(v, (s,))
         return self._raw(self.rank, self.dim, store)
 
+    def compress(self, cls=None, rtol: float = 0.0, atol: float = 0.0
+                 ) -> "PermClsSymmetricTensor":
+        """Explicitly scalar-compress classes whose values are all equal
+        (within tolerance). Requires concrete (non-traced) data — this is a
+        static shape transition, the inverse of expand()."""
+        import numpy as np
+
+        targets = (
+            [comb.as_class_counts(cls)] if cls is not None else list(self.data)
+        )
+        store = dict(self.data)
+        for k in targets:
+            v = store[k]
+            if v.ndim == 0:
+                continue
+            if isinstance(v, jax.core.Tracer):
+                raise TypeError(
+                    "compress() is a static shape transition and needs "
+                    "concrete data (call outside jit)"
+                )
+            host = np.asarray(v)
+            if host.size and np.allclose(host, host.flat[0], rtol=rtol,
+                                         atol=atol):
+                store[k] = jnp.asarray(host.flat[0], dtype=v.dtype)
+        return self._raw(self.rank, self.dim, store)
+
     # ------------------------------------------------------------- content
 
     def toflat(self) -> FlatSymmetricTensor:

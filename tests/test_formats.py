@@ -391,3 +391,15 @@ def test_numpy_interop_outer_densifies_with_warning(fmt, rng):
 def test_data_alignment(fmt):
     A = fmt.zeros(2, 3)
     assert A.data_alignment == fmt.format
+
+
+def test_permcls_compress():
+    A = st.PermClsSymmetricTensor(rank=3, dim=4, data={"iii": 2.0}).expand()
+    assert A.scalar_classes == ()
+    B = A.compress()
+    assert set(B.scalar_classes) == {"iii", "iij", "ijk"}
+    assert B.allclose(A)
+    # non-constant class stays expanded
+    C = A.at[0, 0, 1].set(9.0).compress()
+    assert "iij" not in C.scalar_classes
+    assert "iii" in C.scalar_classes
