@@ -135,6 +135,26 @@ class SymmetricTensor:
         ``A['iij']``, permcls_symtensor.py:730)."""
         raise NotImplementedError
 
+    def _canon_index(self, idx) -> Tuple:
+        """Normalize a concrete multi-index uniformly across formats:
+        negative entries wrap NumPy-style, out-of-range entries raise
+        IndexError. Traced entries pass through unvalidated (their range is
+        a device-side concern)."""
+        out = []
+        for k in idx:
+            if isinstance(k, (int, np.integer)):
+                kk = int(k)
+                if kk < 0:
+                    kk += self.dim
+                if not 0 <= kk < self.dim:
+                    raise IndexError(
+                        f"index {int(k)} out of range for dim {self.dim}"
+                    )
+                out.append(kk)
+            else:
+                out.append(k)
+        return tuple(out)
+
     def element(self, idx: Sequence[int]) -> jnp.ndarray:
         """One element by full multi-index; traced indices allowed."""
         raise NotImplementedError
@@ -167,6 +187,7 @@ class SymmetricTensor:
                         "only trailing full slices are supported in indexing"
                     )
                 key = key[: len(key) - nslice]
+            key = self._canon_index(key)
             if len(key) == self.rank:
                 return self.element(key)
             return self._partial(key)
@@ -294,6 +315,9 @@ class SymmetricTensor:
     def __pow__(self, other):
         return self._binary(other, "power")
 
+    def __rpow__(self, other):
+        return self._binary(other, "power", reverse=True)
+
     def __neg__(self):
         from ..ops import elementwise
 
@@ -319,7 +343,64 @@ class SymmetricTensor:
 
         return elementwise.array_equal(self, other)
 
+    def __eq__(self, other):
+        """`==` is refused: the reference treats comparison elementwise
+        (base.py:1537-1591) while Python's default would silently compare
+        object identity — an error is safer than either surprise."""
+        raise TypeError(
+            "elementwise `==` on SymmetricTensor is not supported; use "
+            "A.array_equal(B) for exact equality, A.allclose(B) for "
+            "tolerance, or symalg.isclose(A, B) for an elementwise result"
+        )
+
+    def __ne__(self, other):
+        raise TypeError(
+            "elementwise `!=` on SymmetricTensor is not supported; use "
+            "`not A.array_equal(B)` or symalg.isclose(A, B)"
+        )
+
     # ------------------------------------------------------------- interop
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        """NEP-13 hook so `np.exp(A)`, `np.add(A, B)` etc. stay compressed
+        (reference __array_ufunc__, base.py:1081-1143; generic defaults
+        :1145-1362). Only elementwise `__call__` is supported — in
+        particular `np.multiply.outer(A, B)` raises, because the
+        *unsymmetrized* outer of symmetric tensors is not symmetric; use
+        `symalg.multiply.outer` (reference testing/api.py:481-485)."""
+        from ..ops import elementwise
+
+        if kwargs.get("out") is not None:
+            raise TypeError(
+                "out= is unsupported: SymmetricTensors are immutable"
+            )
+        if method != "__call__":
+            raise TypeError(
+                f"np.{ufunc.__name__}.{method} is not defined for "
+                "SymmetricTensors; for the symmetrized outer product use "
+                "symalg.add/subtract/multiply .outer"
+            )
+        if ufunc.nin == 1 and ufunc.nout == 1:
+            fn = getattr(jnp, ufunc.__name__, None)
+            if fn is None:
+                return NotImplemented
+            return elementwise.unary(fn, self)
+        name_map = {
+            "add": "add",
+            "subtract": "subtract",
+            "multiply": "multiply",
+            "divide": "divide",
+            "true_divide": "divide",
+            "power": "power",
+        }
+        op = name_map.get(ufunc.__name__)
+        if op is None or ufunc.nin != 2:
+            return NotImplemented
+        a, b = inputs
+        reverse = b is self and not isinstance(a, SymmetricTensor)
+        if reverse:
+            a, b = b, a
+        return elementwise.binary(op, a, b, reverse=reverse)
 
     def __array__(self, dtype=None):
         """NumPy interop: densifies with a warning (reference base.py:1027)."""
@@ -345,9 +426,6 @@ class SymmetricTensor:
             f"dtype={self.dtype}, size={self.size})"
         )
 
-    # Make == elementwise-free: identity comparison like jax arrays would be
-    # confusing; follow the reference in treating == as elementwise-but-we
-    # don't support boolean tensors yet, so expose array_equal/allclose only.
     __hash__ = None  # type: ignore[assignment]
 
 
@@ -376,7 +454,7 @@ class _AtRef:
                     "functional updates need a σ-class label or a full "
                     f"multi-index of length {t.rank}; got {key!r}"
                 )
-            return setter_el(key, value)
+            return setter_el(t._canon_index(key), value)
         if key is Ellipsis:
             # whole-tensor assignment from dense-like data
             from .dense import DenseSymmetricTensor  # noqa: F401

@@ -324,6 +324,7 @@ class DecompSymmetricTensor(SymmetricTensor):
         r, k = self.rank, self.num_indep_factors
         if r == 0:
             return self.weights.reshape(())
+        idx = self._canon_index(idx)
         idxa = jnp.stack([jnp.asarray(i) for i in idx])
         chains = self._subset_chains()
         spec_in = [_LETTERS[:k]] + list(_LETTERS[:k])

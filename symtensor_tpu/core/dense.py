@@ -113,7 +113,7 @@ class DenseSymmetricTensor(SymmetricTensor):
         return self.toflat().class_values(cls)
 
     def element(self, idx: Sequence[int]) -> jnp.ndarray:
-        return self.data[tuple(idx)]
+        return self.data[self._canon_index(idx)]
 
     def _partial(self, idx: Tuple[int, ...]) -> "DenseSymmetricTensor":
         return DenseSymmetricTensor._raw(

@@ -173,7 +173,7 @@ class FlatSymmetricTensor(SymmetricTensor):
         return self.tables.position_jnp(stacked)
 
     def element(self, idx: Sequence[int]) -> jnp.ndarray:
-        return self.data[self._position(idx)]
+        return self.data[self._position(self._canon_index(idx))]
 
     def _partial(self, idx: Tuple[int, ...]) -> "FlatSymmetricTensor":
         k = len(idx)
@@ -202,7 +202,7 @@ class FlatSymmetricTensor(SymmetricTensor):
         return self._raw(self.rank, self.dim, self.data.at[pos].set(value))
 
     def set_element(self, idx, value) -> "FlatSymmetricTensor":
-        pos = self._position(idx)
+        pos = self._position(self._canon_index(idx))
         return self._raw(
             self.rank,
             self.dim,

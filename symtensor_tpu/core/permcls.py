@@ -251,6 +251,7 @@ class PermClsSymmetricTensor(SymmetricTensor):
     def element(self, idx: Sequence[int]) -> jnp.ndarray:
         if self.rank == 0:
             return next(iter(self.data.values())).reshape(())
+        idx = self._canon_index(idx)
         concrete = all(isinstance(i, (int, np.integer)) for i in idx)
         if not concrete:
             # Data-dependent class membership: go through the packed view.
@@ -301,6 +302,7 @@ class PermClsSymmetricTensor(SymmetricTensor):
     def set_element(self, idx, value) -> "PermClsSymmetricTensor":
         if self.rank == 0:
             return self.set_class((), value)
+        idx = self._canon_index(idx)
         concrete = all(isinstance(i, (int, np.integer)) for i in idx)
         if not concrete:
             return self.toflat().set_element(idx, value).topermcls()

@@ -52,11 +52,70 @@ def transpose(symtensor, *axes):
     return symtensor
 
 
+def apply(fn, symtensor):
+    """Apply any elementwise `()->()` function over independent components,
+    keeping the storage format (reference default_unary_ufunc,
+    base.py:1145-1192, which handles arbitrary NumPy ufuncs).
+
+    Valid for any elementwise fn because every dense element equals its
+    representative's stored value. Decomp operands are expanded to flat
+    first (their multiplicative structure is not closed under nonlinear
+    maps)."""
+    return elementwise.unary(fn, symtensor)
+
+
+def _named_unary(name, jnp_fn):
+    def op(symtensor):
+        return elementwise.unary(jnp_fn, symtensor)
+
+    op.__name__ = name
+    op.__qualname__ = name
+    op.__doc__ = (
+        f"Elementwise {name} over independent components "
+        f"(reference np.{name} via default_unary_ufunc, base.py:1145). "
+        "Equivalent to symalg.apply(jnp.%s, A)." % name
+    )
+    return op
+
+
+import jax.numpy as _jnp  # noqa: E402
+
+exp = _named_unary("exp", _jnp.exp)
+expm1 = _named_unary("expm1", _jnp.expm1)
+log = _named_unary("log", _jnp.log)
+log1p = _named_unary("log1p", _jnp.log1p)
+sqrt = _named_unary("sqrt", _jnp.sqrt)
+square = _named_unary("square", _jnp.square)
+reciprocal = _named_unary("reciprocal", _jnp.reciprocal)
+negative = _named_unary("negative", _jnp.negative)
+absolute = _named_unary("absolute", _jnp.abs)
+abs = absolute
+sign = _named_unary("sign", _jnp.sign)
+sin = _named_unary("sin", _jnp.sin)
+cos = _named_unary("cos", _jnp.cos)
+tanh = _named_unary("tanh", _jnp.tanh)
+
+
 __all__ = [
     "add",
     "subtract",
     "multiply",
     "transpose",
+    "apply",
+    "exp",
+    "expm1",
+    "log",
+    "log1p",
+    "sqrt",
+    "square",
+    "reciprocal",
+    "negative",
+    "absolute",
+    "abs",
+    "sign",
+    "sin",
+    "cos",
+    "tanh",
     "tensordot",
     "symmetric_outer",
     "contract_all_indices_with_matrix",

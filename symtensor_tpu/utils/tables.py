@@ -65,9 +65,11 @@ class Tables:
 
     @property
     def perm_classes(self) -> Tuple[comb.SigmaClass, ...]:
-        """σ-classes realizable at this dim (classes needing more distinct
-        values than dim has are empty and excluded, matching the reference's
-        size-0 classes being enumerable but empty)."""
+        """All σ-classes of this rank, in canonical enumeration order —
+        including classes that are empty at this dim (those needing more
+        distinct values than dim has). Class ids elsewhere in the tables
+        index into this unfiltered tuple; PermClsSymmetricTensor._class_keys
+        is where empty classes get filtered out of storage."""
         return comb.perm_classes(self.rank)
 
     # ------------------------------------------------------- device layout

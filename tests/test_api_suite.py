@@ -3,6 +3,7 @@ workflow the reference documents (README.md:70-74)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import symtensor_tpu as st
 from symtensor_tpu.testing import SymTensorSuite, does_not_warn, random_symmetric
@@ -22,7 +23,9 @@ class TestPermClsSuite(SymTensorSuite):
 
 class TestDecompSuite(SymTensorSuite):
     """Decomp binds the same battery with a from_dense shim (the format has
-    no general dense importer — tensors are built from factors)."""
+    no general dense importer — tensors are built from factors; the
+    reference decomp prototype likewise has its own separate battery,
+    testing/decomp_tensor_test.py)."""
 
     class _DecompFacade:
         @staticmethod
@@ -34,9 +37,15 @@ class TestDecompSuite(SymTensorSuite):
                 return st.DecompSymmetricTensor.from_matrix(arr, cutoff=0.0)
             raise NotImplementedError
 
+        @staticmethod
+        def zeros(rank, dim, dtype=None):
+            return st.DecompSymmetricTensor.zeros(rank, dim, dtype=dtype)
+
     tensor_cls = _DecompFacade
     ranks_dims = ((2, 3),)
     atol = 1e-8
+    supports_updates = False  # reference forbids decomp __setitem__ too
+    _SKIP = "needs general-rank from_dense; decomp has tests/test_decomp.py"
 
     # decomp is read-only and has its own battery (tests/test_decomp.py);
     # skip the parts needing from_dense at other ranks
@@ -45,6 +54,47 @@ class TestDecompSuite(SymTensorSuite):
 
     def test_tensordot(self):
         pass
+
+    def test_illegal_initializations(self):
+        import pytest
+
+        with pytest.raises(TypeError):
+            self.tensor_cls(rank=2)
+
+    def test_block_assignment(self):
+        pytest.skip(self._SKIP)
+
+    def test_partial_indexing(self):
+        pytest.skip(self._SKIP)
+
+    def test_unsymmetrized_outer_raises(self):
+        pytest.skip(self._SKIP)
+
+    def test_outer_product_cases(self):
+        pytest.skip(self._SKIP)
+
+    def test_tensordot_sweep(self):
+        pytest.skip(self._SKIP)
+
+    def test_contract_all_indices_with_matrix(self):
+        # decomp's O(1) factor-transform basis change is covered at its
+        # native construction in tests/test_decomp.py
+        pytest.skip(self._SKIP)
+
+    def test_contract_tensor_list(self):
+        pytest.skip(self._SKIP)
+
+    def test_contract_all_indices_with_vector_cases(self):
+        pytest.skip(self._SKIP)
+
+    def test_negative_indices(self):
+        import pytest as _pytest
+
+        t = st.DecompSymmetricTensor.from_vector(jnp.arange(1.0, 4.0), 2)
+        d = np.asarray(t.todense())
+        np.testing.assert_allclose(float(t[-1, 0]), d[2, 0], atol=1e-8)
+        with _pytest.raises(IndexError):
+            t[3, 0]
 
     def test_serialization(self):
         import symtensor_tpu.serialization as ser
