@@ -1,0 +1,331 @@
+"""Blocked output-major basis change  C = A · W ⊗ … ⊗ W  on packed storage.
+
+Reference semantics: symalg.contract_all_indices_with_matrix
+(/root/reference/symtensor/symalg.py:475-496, generic = densify + einsum);
+the compressed-domain algorithm family is Schatz-style one-index-at-a-time
+contraction (graveyard sketch at
+/root/reference/module_purgatory/torch_symmetric_tensor.py:487-534).
+
+Algorithm
+---------
+Output multisets β (sorted ascending) are built level by level, appending
+their max element b.  The level-t state rows are partial contractions
+
+    U_t[β₁…β_t, α] = Σ_{i₁…i_t} A[{i₁…i_t} ∪ α] · W[i₁,β₁] ⋯ W[i_t,β_t]
+
+over all size-(r−t) original multisets α (gflat storage order).  One step:
+
+    U_{t+1}[(β, b), j] = Σ_i U_t[β, insert_k(j, i)] · W[i, b]     (k = r−t−1)
+
+which is exact with no multiplicity bookkeeping because the slots are
+contracted in order and A is symmetric; evaluating at sorted β gives every
+independent component of the (automatically symmetric) result.
+
+The round-1 implementation materialized each full level
+(P_t × N_{r−t} — ~118 GB at rank-6 dim-100).  This version never does:
+blocks of at most R_t rows per level are produced depth-first, children are
+computed from the resident parent block by a fused gather→MXU-einsum→select
+kernel, and finished leaf values are scattered straight into the output
+buffer.  Peak memory = Σ_t R_t·N_{r−t} (the configured budget) + one
+transient segment.  Colex bookkeeping (which rows exist, their max elements,
+their representative multisets) is pure host-side NumPy; each level runs one
+fixed-shape jitted kernel, so the whole flagship size compiles ~r programs.
+
+Key structural facts used:
+- children of a row with max m are (row, b) for every b ≥ m;
+- within a block whose rows are sorted by max element, the parents of the
+  children with new element b are a *prefix* of the block;
+- the storage position of a finished leaf comes from its representative
+  multiset via the closed-form gflat ranking (no inverse permutation).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from ..core.flat import FlatSymmetricTensor
+from ..utils import combinatorics as comb
+from ..utils.tables import tables
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+# ---------------------------------------------------------------------------
+# Device kernels — one compile per (level shape), cached
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
+                 onthefly):
+    """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children
+    (nsel_pad, n_k).  `seg` tiles the n_k axis so the gather transient stays
+    bounded.  With `onthefly` the insert positions are computed from the
+    level-k representative table by the closed-form gflat ranking instead of
+    a materialized (n_k, d) gather map (needed when that map would exceed
+    the table guard — 9.2e9 int32 at rank-6 dim-100)."""
+    t_kp1 = tables(k + 1, d)
+
+    def kern(rows, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
+        Wc = jax.lax.dynamic_slice(
+            Wm, (0, b_lo), (Wm.shape[0], w_pad)
+        )
+        outs = []
+        for s0 in range(0, n_k, seg):
+            s1 = min(s0 + seg, n_k)
+            if onthefly:
+                rep = tbl_or_rep[s0:s1]  # (s, k)
+                ins = jnp.broadcast_to(
+                    jnp.arange(d, dtype=jnp.int32)[None, :, None],
+                    (s1 - s0, d, 1),
+                )
+                full = jnp.sort(
+                    jnp.concatenate(
+                        [
+                            jnp.broadcast_to(
+                                rep[:, None, :], (s1 - s0, d, k)
+                            ),
+                            ins,
+                        ],
+                        axis=2,
+                    ),
+                    axis=2,
+                )
+                sl = t_kp1.position_jnp(full)  # (s, d)
+            else:
+                sl = tbl_or_rep[s0:s1]  # (s, d)
+            G = rows[:, sl].astype(acc_dt)  # (npar, s, d)
+            H = jnp.einsum(
+                "pji,ib->pjb", G, Wc, preferred_element_type=acc_dt
+            )
+            outs.append(H[sel_par, :, sel_b])  # (nsel_pad, s)
+        return jnp.concatenate(outs, axis=1).astype(store_dt)
+
+    return jax.jit(kern)
+
+
+@lru_cache(maxsize=None)
+def _emit_kernel(dt):
+    def kern(out, pos, vals):
+        return out.at[pos].set(vals.astype(out.dtype))
+
+    return jax.jit(kern, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Host-side blocks and schedule
+# ---------------------------------------------------------------------------
+
+
+class _Block:
+    """One resident block of level-t rows: device values + host bookkeeping
+    (max element and representative multiset per row, sorted by max)."""
+
+    __slots__ = ("U", "maxels", "reps", "nrows")
+
+    def __init__(self, U, maxels, reps, nrows):
+        self.U = U  # (nrows_pad, width) device
+        self.maxels = maxels  # (nrows,) np int64, ascending
+        self.reps = reps  # (nrows, t) np int32, rows sorted ascending
+        self.nrows = nrows
+
+
+def _row_budgets(r, d_out, widths, total_elems):
+    """Rows per level: share the element budget with more weight on early
+    (wide) levels; clamp to the level's total row count."""
+    wts = np.array([r - t + 1 for t in range(1, r + 1)], dtype=np.float64)
+    shares = total_elems * wts / wts.sum()
+    R = [None]
+    for t in range(1, r + 1):
+        cap = comb.multiset_count(d_out, t)
+        R.append(int(min(cap, max(1, shares[t - 1] // widths[t]))))
+    R[r] = min(R[r], 2**24)  # leaf rows are scatter-op sized, not memory
+    return R
+
+
+def basis_change_packed(
+    A: FlatSymmetricTensor,
+    W,
+    *,
+    block_elems: Optional[int] = None,
+    transient_elems: Optional[int] = None,
+    store_dtype=None,
+    acc_dtype=None,
+    onthefly_above: Optional[int] = None,
+) -> FlatSymmetricTensor:
+    """Blocked basis change of a packed symmetric tensor.
+
+    block_elems: total element budget across resident level blocks
+      (default $SYMTENSOR_BASIS_BLOCK_ELEMS or 2**27 ≈ 512 MB f32).
+    transient_elems: per-kernel gather/einsum transient budget
+      (default $SYMTENSOR_BASIS_TRANSIENT_ELEMS or 2**26).
+    store_dtype: dtype of level blocks and output (default A.dtype —
+      pass bfloat16 to halve residency at large sizes);
+    acc_dtype: einsum accumulation dtype (default float32, or float64
+      when the data is float64).
+    """
+    r, d = A.rank, A.dim
+    W = jnp.asarray(W)
+    if W.ndim != 2 or W.shape[0] != d:
+        raise ValueError(
+            f"W must be (dim, d_out) = ({d}, ·); got {W.shape} "
+            "(reference symalg.py:481)"
+        )
+    d_out = int(W.shape[1])
+    store_dt = jnp.dtype(store_dtype or A.dtype)
+    if acc_dtype is None:
+        acc_dtype = (
+            jnp.float64 if A.dtype == jnp.float64 else jnp.float32
+        )
+    acc_dt = jnp.dtype(acc_dtype)
+    if r == 0:
+        return FlatSymmetricTensor._raw(0, 1, A.data.astype(store_dt))
+    if r == 1:
+        out = A.data.astype(acc_dt) @ W.astype(acc_dt)
+        return FlatSymmetricTensor._raw(1, d_out, out.astype(store_dt))
+
+    block_elems = block_elems or _env_int(
+        "SYMTENSOR_BASIS_BLOCK_ELEMS", 2**27
+    )
+    transient_elems = transient_elems or _env_int(
+        "SYMTENSOR_BASIS_TRANSIENT_ELEMS", 2**26
+    )
+
+    widths = [comb.indep_size(r - t, d) for t in range(r + 1)]
+    R = _row_budgets(r, d_out, widths, block_elems)
+
+    # per-level window widths: wide enough that chunks can fill their row
+    # budget from the parent block's fan-out
+    w_pad = [None] * (r + 1)
+    prevR = 1
+    for t in range(1, r + 1):
+        w_pad[t] = int(min(d_out, max(4, -(-2 * R[t] // prevR))))
+        prevR = R[t]
+
+    layout_out = tables(r, d_out).layout
+    n_out = comb.indep_size(r, d_out)
+    # output buffer with one dump slot for padded scatters
+    out_buf = jnp.zeros((n_out + 1,), dtype=store_dt)
+
+    # insert maps per k: materialized gather map when small, otherwise the
+    # (n_k, k) representative table + closed-form ranking in-kernel
+    _maps = {}
+
+    fly_limit = (
+        config.max_table_entries if onthefly_above is None else onthefly_above
+    )
+
+    def insert_map(k):
+        if k not in _maps:
+            n_k = comb.indep_size(k, d)
+            if n_k * d <= fly_limit:
+                _maps[k] = (tables(r, d).insert_table(k), False)
+            else:
+                _maps[k] = (tables(k, d).rep, True)
+        return _maps[k]
+
+    # Zero-pad W's columns by the largest window so the in-kernel
+    # dynamic_slice never clamps b_lo (clamping would silently shift the
+    # selected columns when a window overhangs d_out).
+    wmax = max(w_pad[1:])
+    Wdev = jnp.concatenate(
+        [W.astype(acc_dt), jnp.zeros((d, wmax), dtype=acc_dt)], axis=1
+    )
+
+    def run_chunk(t, blk, kern, tbl_arg, b_lo, sel_par, sel_b, nsel_pad):
+        nonlocal out_buf
+        child_level = t + 1
+        nsel = len(sel_par)
+        pad = nsel_pad - nsel
+        sp = np.concatenate(
+            [sel_par, np.zeros(pad, np.int64)]
+        ).astype(np.int32)
+        sb_rel = (
+            np.concatenate([sel_b, np.full(pad, b_lo, np.int64)]) - b_lo
+        ).astype(np.int32)
+        child_U = kern(
+            blk.U, tbl_arg, Wdev, b_lo, jnp.asarray(sp), jnp.asarray(sb_rel)
+        )
+        child_reps = np.concatenate(
+            [blk.reps[sel_par], sel_b[:, None].astype(np.int32)], axis=1
+        )
+        if child_level == r:
+            pos = layout_out.position_array(child_reps.astype(np.int64))
+            pos_pad = np.concatenate(
+                [pos, np.full(pad, n_out, np.int64)]
+            )
+            out_buf = _emit_kernel(str(store_dt))(
+                out_buf, jnp.asarray(pos_pad), child_U[:, 0]
+            )
+            return
+        child = _Block(child_U, sel_b.astype(np.int64), child_reps, nsel)
+        process(child_level, child)
+
+    def process(t, blk):
+        """Produce and recurse into all child blocks of `blk` (level t)."""
+        child_level = t + 1
+        k = r - t - 1  # original indices remaining after this step
+        n_k = comb.indep_size(k, d)
+        npar_pad = int(blk.U.shape[0])
+        Rc = R[child_level]
+        wp = w_pad[child_level]
+        tbl_arg, onthefly = insert_map(k)
+        seg = int(
+            max(1, min(n_k, transient_elems // max(1, npar_pad * (d + wp))))
+        )
+        kern = _step_kernel(
+            n_k, d, k, wp, Rc, seg, str(store_dt), str(acc_dt), onthefly
+        )
+        # parents available per new max element b (prefix property)
+        counts = np.searchsorted(
+            blk.maxels, np.arange(d_out) + 1, side="left"
+        )
+        b = int(np.argmax(counts > 0)) if counts[-1] > 0 else d_out
+        while b < d_out:
+            b_lo = b
+            sel_par, sel_b, nsel = [], [], 0
+            while b < d_out and (b - b_lo) < wp and nsel < Rc:
+                c = int(counts[b])
+                if c > Rc and nsel == 0:
+                    # one b-group exceeds the row budget: emit it in
+                    # parent-prefix pieces (window of width 1)
+                    for p0 in range(0, c, Rc):
+                        p1 = min(p0 + Rc, c)
+                        run_chunk(
+                            t, blk, kern, tbl_arg, b,
+                            np.arange(p0, p1, dtype=np.int64),
+                            np.full(p1 - p0, b, dtype=np.int64),
+                            Rc,
+                        )
+                    b += 1
+                    b_lo = b
+                    continue
+                if nsel + c > Rc:
+                    break
+                sel_par.append(np.arange(c, dtype=np.int64))
+                sel_b.append(np.full(c, b, dtype=np.int64))
+                nsel += c
+                b += 1
+            if nsel:
+                run_chunk(
+                    t, blk, kern, tbl_arg, b_lo,
+                    np.concatenate(sel_par), np.concatenate(sel_b), Rc,
+                )
+
+    root = _Block(
+        A.data.astype(store_dt).reshape(1, -1),
+        np.zeros(1, dtype=np.int64),
+        np.zeros((1, 0), dtype=np.int32),
+        1,
+    )
+    process(0, root)
+    return FlatSymmetricTensor._raw(r, d_out, out_buf[:n_out])

@@ -248,104 +248,23 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray):
-    r, d = A.rank, A.dim
-    W = jnp.asarray(W, dtype=A.dtype)
-    if W.shape[0] != d:
-        raise ValueError(f"W rows {W.shape[0]} must equal dim {d}")
-    d_out = W.shape[1]
-    if r == 0:
-        return FlatSymmetricTensor._raw(0, 1, A.data)
-    if r == 1:
-        return FlatSymmetricTensor._raw(1, d_out, A.data @ W)
+def _basis_change_flat(A: FlatSymmetricTensor, W: jnp.ndarray, **kw):
+    """Blocked Schatz-style basis change — see ops/basis_change.py."""
+    from .basis_change import basis_change_packed
 
-    t_in = A.tables
-    t_out = tables(r, d_out)
-
-    # Output-major Schatz steps: new-index multisets are built through
-    # their max element b, whose parents are the colex prefix of length
-    # m_b = C(b+t, t). Computing extensions only for b-chunks (and only the
-    # prefix rows each chunk needs) saves the (t+1)× FLOPs the naive
-    # all-extensions step wastes, and bounds peak memory by the chunk
-    # budget (SYMTENSOR_BASIS_CHUNK_ELEMS, 512 MB f32 default).
-    import os
-
-    budget = int(os.environ.get("SYMTENSOR_BASIS_CHUNK_ELEMS", 2**27))
-
-    # U_t: (P_t, N_{r-t}) — t new (output) symmetric indices, r-t original.
-    U = A.data.reshape(1, -1)
-    for t in range(r):
-        k = r - t - 1  # remaining original indices after this step
-        if k >= 1:
-            tbl = t_in.insert_table(k)  # (N_k, d)
-            N_k = tbl.shape[0]
-        else:
-            tbl = None
-            N_k = 1
-        par, mx = t_out.mono_tables(t + 1)  # colex level t+1 over d_out
-        # prefix length per max value b: m_b = multiset_count(b+1, t)
-        m = [comb.multiset_count(b + 1, t) for b in range(d_out)]
-        # output offsets per b: entries with max exactly b
-        off = [comb.multiset_count(b, t + 1) for b in range(d_out + 1)]
-        _check_table(max(m) * N_k, f"basis_change step {t}")
-
-        # greedy b-chunks under the element budget
-        chunks = []
-        b0 = 0
-        while b0 < d_out:
-            b1 = b0 + 1
-            while (
-                b1 < d_out and m[b1] * N_k * (b1 + 1 - b0) <= budget
-            ):
-                b1 += 1
-            chunks.append((b0, b1))
-            b0 = b1
-
-        def extend(U_pref, width, Wslice):
-            """H = einsum over the prefix rows, with the (rows, N_k, d)
-            gather itself bounded by the budget via lax.map row-chunks."""
-            mm = U_pref.shape[0]
-            if k < 1:
-                return jnp.einsum(
-                    "pji,ib->pjb", U_pref.reshape(mm, 1, d), Wslice
-                )
-            CH = max(1, min(mm, budget // (N_k * d)))
-            if CH >= mm:
-                return jnp.einsum("pji,ib->pjb", U_pref[:, tbl], Wslice)
-            nch = -(-mm // CH)
-            pad = nch * CH - mm
-            U_pad = (
-                jnp.concatenate(
-                    [U_pref, jnp.zeros((pad, U_pref.shape[1]), U_pref.dtype)]
-                )
-                if pad
-                else U_pref
-            )
-            return jax.lax.map(
-                lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], Wslice),
-                U_pad.reshape(nch, CH, -1),
-            ).reshape(nch * CH, N_k, width)[:mm]
-
-        segs = []
-        for b0, b1 in chunks:
-            mm = m[b1 - 1]  # parents needed by this chunk
-            H = extend(U[:mm], b1 - b0, W[:, b0:b1])
-            o0, o1 = off[b0], off[b1]
-            seg_par = par[o0:o1]
-            seg_mx = mx[o0:o1] - b0
-            segs.append(H[seg_par, :, seg_mx])  # (o1-o0, N_k)
-        U = jnp.concatenate(segs, axis=0)  # (P_{t+1}, N_k)
-
-    # U: (P_r, 1) in colex order of output multisets → gflat order.
-    out_vals = U[:, 0][t_out.colex_perm]
-    return FlatSymmetricTensor._raw(r, d_out, out_vals)
+    return basis_change_packed(A, W, **kw)
 
 
-def contract_all_indices_with_matrix(symtensor, W):
+def contract_all_indices_with_matrix(symtensor, W, **kw):
     """C_{j1…jr} = Σ_{i1…ir} A_{i1…ir} W_{i1 j1} … W_{ir jr}
     (reference symalg.py:475-496). Rectangular W changes the dimension.
     The result of contracting every index of a symmetric tensor is itself
-    symmetric, so no explicit symmetrization is needed."""
+    symmetric, so no explicit symmetrization is needed.
+
+    Packed formats run the blocked output-major recursion
+    (ops/basis_change.py): bounded memory at any size, ~rank compiled
+    programs. Keyword options (block_elems, transient_elems, store_dtype,
+    acc_dtype) tune residency for very large tensors."""
     A = symtensor
     if not isinstance(A, SymmetricTensor):
         raise TypeError("first operand must be a SymmetricTensor")
@@ -360,7 +279,7 @@ def contract_all_indices_with_matrix(symtensor, W):
         return DenseSymmetricTensor._raw(
             A.rank, W.shape[1] if A.rank else A.dim, out
         )
-    flat = _basis_change_flat(A.toflat(), W)
+    flat = _basis_change_flat(A.toflat(), W, **kw)
     if A.format == "permcls":
         return flat.topermcls()
     return flat

@@ -405,13 +405,56 @@ def test_isclose_elementwise(rng):
 
 
 def test_basis_change_chunked_matches(rng, monkeypatch):
-    monkeypatch.setenv("SYMTENSOR_BASIS_CHUNK_ELEMS", "1024")
+    monkeypatch.setenv("SYMTENSOR_BASIS_BLOCK_ELEMS", "1024")
+    monkeypatch.setenv("SYMTENSOR_BASIS_TRANSIENT_ELEMS", "2048")
     dense = random_sym(4, 8, rng)
     A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
     W = jnp.asarray(rng.normal(size=(8, 8)))
     out = symalg.contract_all_indices_with_matrix(A, W)
     oracle = np.einsum("abcd,ai,bj,ck,dl->ijkl", dense, *([np.asarray(W)] * 4))
     np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "block_elems,transient_elems", [(17, 23), (64, 32), (500, 4096)]
+)
+def test_basis_change_blocked_budget_sweep(rng, block_elems, transient_elems):
+    """The depth-first blocked recursion must be exact at ANY budget — a
+    window that overhangs d_out once silently shifted the W columns
+    (dynamic_slice clamping), caught by this sweep."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    dense = random_sym(3, 4, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    for d_out in (2, 4, 5):
+        W = rng.normal(size=(4, d_out))
+        got = basis_change_packed(
+            A,
+            jnp.asarray(W),
+            block_elems=block_elems,
+            transient_elems=transient_elems,
+        )
+        oracle = np.einsum("abc,ai,bj,ck->ijk", dense, W, W, W)
+        np.testing.assert_allclose(
+            np.asarray(got.todense()),
+            sym_np(oracle),
+            atol=1e-9,
+        )
+
+
+def test_basis_change_onthefly_positions(rng):
+    """Force the closed-form (no materialized insert table) kernel path and
+    check exactness — this is the path the rank-6 dim-100 flagship uses."""
+    from symtensor_tpu.ops import basis_change as bc
+
+    dense = random_sym(4, 6, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = rng.normal(size=(6, 6))
+    got = bc.basis_change_packed(A, jnp.asarray(W), onthefly_above=0)
+    oracle = np.einsum("abcd,ai,bj,ck,dl->ijkl", dense, *([W] * 4))
+    np.testing.assert_allclose(
+        np.asarray(got.todense()), oracle, atol=1e-9
+    )
 
 
 def test_permcls_contraction_fallback_no_double_count(rng, monkeypatch):
