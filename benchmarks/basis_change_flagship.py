@@ -1,0 +1,99 @@
+"""Flagship-size basis change on the real TPU: rank-6 dim-100.
+
+The reference cannot run this at all (its generic path materializes the
+d^r = 1e12-element dense tensor, symalg.py:475-496); round 1 of this repo
+capped out around rank 4-5 at dim 100 (full mixed-symmetry levels ~118 GB).
+The blocked depth-first recursion (ops/basis_change.py) runs it on one chip.
+
+Storage dtype bfloat16 (tensor + blocks + output; 3.2 GB each at
+n = C(105,6) = 1,609,344,100), accumulation float32.
+
+Correctness at scale is checked on-chip with the contraction identity
+    C · x^{⊗r} = A · (W x)^{⊗r}
+using the fast polynomial-evaluation kernel on both sides (bf16-level
+agreement expected).  Small-size exactness vs the dense einsum oracle is
+covered in tests/test_symalg.py (f64, 1e-11).
+
+Usage:  python benchmarks/basis_change_flagship.py [rank dim]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import symtensor_tpu as st
+from symtensor_tpu import symalg
+from symtensor_tpu.config import config
+from symtensor_tpu.ops.basis_change import basis_change_packed
+from symtensor_tpu.utils import combinatorics as comb
+
+
+def fence(x) -> float:
+    """Scalar readback — the only reliable device fence through the axon
+    tunnel (block_until_ready does not synchronize, CLAUDE.md)."""
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def main():
+    rank = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+
+    config.max_table_entries = 3_000_000_000
+    n = comb.indep_size(rank, dim)
+    print(f"rank={rank} dim={dim}: n = {n:,} "
+          f"({2*n/1e9:.1f} GB bf16), device = {jax.devices()[0]}", flush=True)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    A = st.FlatSymmetricTensor._raw(
+        rank, dim, jax.random.normal(key, (n,), jnp.bfloat16)
+    )
+    fence(A.data[:1])
+    print(f"tensor materialized in {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    W = jnp.asarray(Q, jnp.float32)
+
+    kw = dict(
+        store_dtype=jnp.bfloat16,
+        block_elems=1_200_000_000,
+        transient_elems=60_000_000,
+    )
+
+    t0 = time.time()
+    C = basis_change_packed(A, W, **kw)
+    fence(C.data[:1])
+    t_first = time.time() - t0
+    print(f"basis change pass 1 (incl. compile): {t_first:.1f}s", flush=True)
+
+    t0 = time.time()
+    C = basis_change_packed(A, W, **kw)
+    fence(C.data[:1])
+    t_warm = time.time() - t0
+    print(f"basis change pass 2 (warm): {t_warm:.1f}s", flush=True)
+
+    # on-chip correctness identity: C·x^r == A·(Wx)^r
+    x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
+    lhs = float(symalg.contract_all_indices_with_vector(C, x))
+    rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
+    rel = abs(lhs - rhs) / max(abs(rhs), 1e-30)
+    print(f"identity C·x^r vs A·(Wx)^r: lhs={lhs:.6g} rhs={rhs:.6g} "
+          f"rel={rel:.3e}", flush=True)
+
+    flops = 0
+    for t in range(rank):
+        flops += 2 * comb.multiset_count(dim, t + 1) * comb.indep_size(
+            rank - t - 1, dim
+        ) * dim
+    print(f"useful FLOPs {flops/1e12:.2f} TF → "
+          f"{flops/t_warm/1e12:.1f} TFLOP/s effective", flush=True)
+
+
+if __name__ == "__main__":
+    main()
