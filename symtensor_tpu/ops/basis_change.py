@@ -66,7 +66,7 @@ def _env_int(name: str, default: int) -> int:
 
 @lru_cache(maxsize=None)
 def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
-                 onthefly):
+                 onthefly, mesh_axis=None):
     """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children
     (nsel_pad, n_k).  `seg` tiles the n_k axis so the gather transient stays
     bounded.  With `onthefly` the insert positions are computed from the
@@ -74,8 +74,19 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
     a materialized (n_k, d) gather map (needed when that map would exceed
     the table guard — 9.2e9 int32 at rank-6 dim-100)."""
     t_kp1 = tables(k + 1, d)
+    if mesh_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh, axis = mesh_axis
+        col_sharded = NamedSharding(mesh, PartitionSpec(None, axis))
+        repl = NamedSharding(mesh, PartitionSpec())
 
     def kern(rows, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
+        if mesh_axis is not None:
+            # parents replicated (one all-gather per block when the caller
+            # hands in a column-sharded previous level); children column-
+            # sharded — each device computes its n_k slice locally.
+            rows = jax.lax.with_sharding_constraint(rows, repl)
         Wc = jax.lax.dynamic_slice(
             Wm, (0, b_lo), (Wm.shape[0], w_pad)
         )
@@ -108,7 +119,10 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
                 "pji,ib->pjb", G, Wc, preferred_element_type=acc_dt
             )
             outs.append(H[sel_par, :, sel_b])  # (nsel_pad, s)
-        return jnp.concatenate(outs, axis=1).astype(store_dt)
+        out = jnp.concatenate(outs, axis=1).astype(store_dt)
+        if mesh_axis is not None and n_k > 1:
+            out = jax.lax.with_sharding_constraint(out, col_sharded)
+        return out
 
     return jax.jit(kern)
 
@@ -161,6 +175,8 @@ def basis_change_packed(
     store_dtype=None,
     acc_dtype=None,
     onthefly_above: Optional[int] = None,
+    mesh=None,
+    tp_axis: str = "tp",
 ) -> FlatSymmetricTensor:
     """Blocked basis change of a packed symmetric tensor.
 
@@ -172,6 +188,11 @@ def basis_change_packed(
       pass bfloat16 to halve residency at large sizes);
     acc_dtype: einsum accumulation dtype (default float32, or float64
       when the data is float64).
+    mesh/tp_axis: optional jax.sharding.Mesh — level blocks are sharded
+      over their (wide) original-multiset column axis on `tp_axis`; the
+      block budget then scales with the axis size.  Each step re-gathers
+      the parent block once over ICI (parents are read across all columns)
+      and computes its column slice locally.
     """
     r, d = A.rank, A.dim
     W = jnp.asarray(W)
@@ -283,7 +304,8 @@ def basis_change_packed(
             max(1, min(n_k, transient_elems // max(1, npar_pad * (d + wp))))
         )
         kern = _step_kernel(
-            n_k, d, k, wp, Rc, seg, str(store_dt), str(acc_dt), onthefly
+            n_k, d, k, wp, Rc, seg, str(store_dt), str(acc_dt), onthefly,
+            None if mesh is None else (mesh, tp_axis),
         )
         # parents available per new max element b (prefix property)
         counts = np.searchsorted(

@@ -1,13 +1,17 @@
 from .sharding import (
     make_mesh,
     poly_eval_batched_sharded,
+    poly_eval_batched_sharded_grouped,
     replicated,
     shard_flat,
+    shard_group_views,
 )
 
 __all__ = [
     "make_mesh",
     "poly_eval_batched_sharded",
+    "poly_eval_batched_sharded_grouped",
     "replicated",
     "shard_flat",
+    "shard_group_views",
 ]

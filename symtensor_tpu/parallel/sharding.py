@@ -79,10 +79,17 @@ def poly_eval_batched_sharded(
     tp_axis: str = "tp",
 ) -> jnp.ndarray:
     """Batched full contraction Σ A·x⊗…⊗x with the batch sharded over
-    `dp_axis` and the packed component axis sharded over `tp_axis`;
-    the component reduction is one psum over ICI.
+    `dp_axis` and the packed independent-component axis sharded over
+    `tp_axis`; the component reduction is one psum over ICI.
 
     Returns (B,) results, sharded over dp.
+
+    Memory note: this colex-EGF formulation replicates all prior EGF
+    levels per shard — the level-(r−1) intermediate is
+    (B_local, C(d+r−2, r−1)) and is NOT bounded by tp sharding (only the
+    last level's table traffic and the value axis are).  For large tensors
+    prefer `poly_eval_batched_sharded_grouped`, which shards the grouped
+    GEMM layout instead (per-head intermediates, no O(n) colex tables).
     """
     r, d = A.rank, A.dim
     if r < 2:
@@ -126,3 +133,87 @@ def poly_eval_batched_sharded(
 def replicated(mesh: Mesh):
     """NamedSharding that replicates a leaf across the whole mesh."""
     return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------------------
+# Grouped sharded evaluation — the production multi-chip path
+# ---------------------------------------------------------------------------
+
+
+def shard_group_views(
+    A: FlatSymmetricTensor, mesh: Mesh, tp_axis: str = "tp"
+):
+    """Split the packed values into the per-group matrices of the grouped
+    GEMM kernel (kernels/poly_eval.py) and shard each matrix's *head* axis
+    over `tp_axis`.  Every group GEMM then runs row-parallel: each device
+    holds 1/n_tp of every group (≈ 1/n_tp of all values), and the final
+    M̃-weighted head reduction contracts the sharded axis — XLA inserts one
+    reduce per group over ICI.  No O(n) colex tables are touched
+    (round-1 CLAUDE.md candidate: 'a grouped sharded variant would cut
+    table traffic')."""
+    from ..kernels.poly_eval import (
+        _grouped_static,
+        _is_transposed,
+        group_views,
+    )
+
+    views = group_views(A)
+    Ps, Ts, _, _ = _grouped_static(A.rank, A.dim)
+    ntp = mesh.shape[tp_axis]
+    out = []
+    for j, V in enumerate(views):
+        # transposed narrow-tail views are (T_j, P_j): head axis is axis 1
+        head_ax = 1 if _is_transposed(Ps[j], Ts[j]) else 0
+        if V.shape[head_ax] % ntp == 0:
+            spec = P(None, tp_axis) if head_ax else P(tp_axis, None)
+        elif V.shape[1 - head_ax] % ntp == 0:
+            spec = P(tp_axis, None) if head_ax else P(None, tp_axis)
+        else:
+            # tiny/indivisible group: replicate (cheap — group sizes fall
+            # off steeply at both ends of j)
+            spec = P()
+        out.append(jax.device_put(V, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def poly_eval_batched_sharded_grouped(
+    A: FlatSymmetricTensor,
+    xs: jnp.ndarray,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    tp_axis: str = "tp",
+    views=None,
+) -> jnp.ndarray:
+    """Batched full contraction on the grouped GEMM layout with the batch
+    over `dp_axis` and every group's head axis over `tp_axis`.
+
+    This is the single-chip benchmark kernel made multi-chip by sharding
+    annotations alone: the jnp body is identical; GSPMD partitions each
+    (B, T_j) @ (T_j, P_j) GEMM over rows of P_j and reduces the sharded
+    head contraction over ICI.  Per-device residency: values/n_tp + the
+    replicated head-monomial table (C(d+r−4, r−3) ≪ n).
+
+    Pass precomputed `views` (from shard_group_views) to amortize placement
+    across calls.  Returns (B,), sharded over dp.
+    """
+    from ..kernels.poly_eval import _views_eval_batched_jitted
+
+    r, d = A.rank, A.dim
+    xs = jnp.asarray(xs)
+    if r < 3:
+        # trivial ranks: data-parallel only
+        xs = jax.device_put(xs, NamedSharding(mesh, P(dp_axis, None)))
+        if r == 0:
+            return jnp.broadcast_to(A.data[0], (xs.shape[0],))
+        if r == 1:
+            return xs @ A.data.astype(xs.dtype)
+        from ..ops.contract import contract_all_indices_with_vector_batched
+
+        return contract_all_indices_with_vector_batched(A, xs)
+    if views is None:
+        views = shard_group_views(A, mesh, tp_axis)
+    xs = jax.device_put(xs, NamedSharding(mesh, P(dp_axis, None)))
+    out = _views_eval_batched_jitted(r, d)(views, xs)
+    return jax.lax.with_sharding_constraint(
+        out, NamedSharding(mesh, P(dp_axis))
+    )

@@ -69,6 +69,46 @@ def test_shard_flat_placement(mesh, rng):
         )  # 45 not divisible
 
 
+@pytest.mark.parametrize("rank,dim", [(3, 8), (4, 9), (5, 6)])
+def test_poly_eval_sharded_grouped_matches(mesh, rng, rank, dim):
+    """Grouped GEMM layout sharded over every group's head axis — the
+    production multi-chip path (no O(n) colex tables)."""
+    from symtensor_tpu.kernels.poly_eval import poly_eval_flat_batched
+
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim, data=jnp.asarray(rng.normal(size=n), jnp.float32)
+    )
+    xs = jnp.asarray(rng.normal(size=(8, dim)), jnp.float32)
+    got = parallel.poly_eval_batched_sharded_grouped(A, xs, mesh)
+    want = poly_eval_flat_batched(A, xs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5
+    )
+    # views actually live sharded: at least one big group is not replicated
+    views = parallel.shard_group_views(A, mesh)
+    assert any(not v.sharding.is_fully_replicated for v in views)
+
+
+def test_basis_change_sharded_matches(mesh, rng):
+    """Column-sharded blocked basis change == unsharded (f64, tiny blocks
+    force multi-chunk scheduling under sharding)."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    for rank, dim in [(3, 6), (4, 5)]:
+        n = st.utils.indep_size(rank, dim)
+        A = st.FlatSymmetricTensor(
+            rank=rank, dim=dim,
+            data=jnp.asarray(rng.normal(size=n), jnp.float64),
+        )
+        W = jnp.asarray(rng.normal(size=(dim, dim)))
+        want = basis_change_packed(A, W)
+        got = basis_change_packed(A, W, mesh=mesh, block_elems=500)
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(want.data), atol=1e-12
+        )
+
+
 def test_model_training_sharded(mesh, rng):
     import optax
 
