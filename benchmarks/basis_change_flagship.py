@@ -48,11 +48,19 @@ def main():
     print(f"rank={rank} dim={dim}: n = {n:,} "
           f"({2*n/1e9:.1f} GB bf16), device = {jax.devices()[0]}", flush=True)
 
-    key = jax.random.PRNGKey(0)
     t0 = time.time()
-    A = st.FlatSymmetricTensor._raw(
-        rank, dim, jax.random.normal(key, (n,), jnp.bfloat16)
+    # generate in chunks: a single random.normal(n) materializes an O(n)
+    # uint32 bits temp (6.4 GB) — pointless fragmentation pressure
+    nchunk = 8
+    csz = -(-n // nchunk)
+    gen = jax.jit(
+        lambda k: jax.random.normal(k, (csz,), jnp.bfloat16)
     )
+    parts = [gen(jax.random.PRNGKey(i)) for i in range(nchunk)]
+    A = st.FlatSymmetricTensor._raw(
+        rank, dim, jnp.concatenate(parts)[:n]
+    )
+    del parts
     fence(A.data[:1])
     print(f"tensor materialized in {time.time()-t0:.1f}s", flush=True)
 
@@ -62,8 +70,12 @@ def main():
 
     kw = dict(
         store_dtype=jnp.bfloat16,
-        block_elems=1_200_000_000,
-        transient_elems=60_000_000,
+        block_elems=900_000_000,
+        transient_elems=50_000_000,
+        # keep the 1.8 GB k=4 insert map off the device too — positions for
+        # both k=5 and k=4 are ranked in-kernel from the (much smaller or
+        # already-needed) representative tables
+        onthefly_above=250_000_000,
     )
 
     t0 = time.time()

@@ -13,7 +13,9 @@ from .core import (
     DecompSymmetricTensor,
     DenseSymmetricTensor,
     FlatSymmetricTensor,
+    FlatSymmetricTensorSlice,
     PermClsSymmetricTensor,
+    SparseFlatSymmetricTensor,
     SymmetricTensor,
 )
 from . import ops
@@ -27,7 +29,9 @@ __all__ = [
     "DecompSymmetricTensor",
     "DenseSymmetricTensor",
     "FlatSymmetricTensor",
+    "FlatSymmetricTensorSlice",
     "PermClsSymmetricTensor",
+    "SparseFlatSymmetricTensor",
     "SymmetricTensor",
     "ops",
     "symalg",

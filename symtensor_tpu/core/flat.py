@@ -175,7 +175,7 @@ class FlatSymmetricTensor(SymmetricTensor):
     def element(self, idx: Sequence[int]) -> jnp.ndarray:
         return self.data[self._position(self._canon_index(idx))]
 
-    def _partial(self, idx: Tuple[int, ...]) -> "FlatSymmetricTensor":
+    def _materialize_partial(self, idx: Tuple[int, ...]) -> "FlatSymmetricTensor":
         k = len(idx)
         out_rank = self.rank - k
         from ..utils.tables import tables as get_tables
@@ -189,6 +189,15 @@ class FlatSymmetricTensor(SymmetricTensor):
         full = jnp.sort(jnp.concatenate([fixed, rep_out], axis=1), axis=1)
         pos = self.tables.position_jnp(full)
         return FlatSymmetricTensor._raw(out_rank, self.dim, self.data[pos])
+
+    def _partial(self, idx: Tuple[int, ...]):
+        """Partial indexing returns an O(1) lazy view (reference
+        FlatSymmetricTensorSlice, flat_symtensor.py:277-354); the gather
+        happens on first access to packed data. Traced indices materialize
+        eagerly (a view's fixed indices are static structure)."""
+        if all(isinstance(i, (int, np.integer)) for i in idx):
+            return FlatSymmetricTensorSlice(self, tuple(int(i) for i in idx))
+        return self._materialize_partial(idx)
 
     # ------------------------------------------------------------ updates
 
@@ -207,4 +216,103 @@ class FlatSymmetricTensor(SymmetricTensor):
             self.rank,
             self.dim,
             self.data.at[pos].set(jnp.asarray(value, dtype=self.dtype)),
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+class FlatSymmetricTensorSlice(SymmetricTensor):
+    """O(1) lazy view of a partial index into a FlatSymmetricTensor
+    (reference FlatSymmetricTensorSlice, flat_symtensor.py:277-354).
+
+    Holds a reference to the parent's packed leaf plus the fixed leading
+    indices; no gather happens until the packed data of the sub-tensor is
+    actually needed (`.data`, `toflat`, `todense`, class access).  Single
+    elements are read directly through the closed-form position of
+    sort(fixed ∪ idx) — O(rank) arithmetic, no table."""
+
+    format = "flat"  # storage-compatible with flat (alignment key)
+
+    def __init__(self, parent: FlatSymmetricTensor, fixed: Tuple[int, ...]):
+        self._parent = parent
+        self._fixed = tuple(fixed)
+        self.rank = parent.rank - len(fixed)
+        self.dim = parent.dim
+        self._cache = None
+
+    # ------------------------------------------------------------- pytree
+
+    def tree_flatten(self):
+        return (self._parent,), self._fixed
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], aux)
+
+    @classmethod
+    def _raw(cls, rank, dim, data):
+        # ops that rebuild "the same format" from packed data get a plain
+        # flat tensor — a slice's identity is its parent+fixed indices
+        return FlatSymmetricTensor._raw(rank, dim, data)
+
+    # ------------------------------------------------------------ content
+
+    @property
+    def parent(self) -> FlatSymmetricTensor:
+        return self._parent
+
+    @property
+    def fixed(self) -> Tuple[int, ...]:
+        return self._fixed
+
+    @property
+    def dtype(self):
+        return self._parent.dtype
+
+    @property
+    def size(self) -> int:
+        return self.indep_size
+
+    def toflat(self) -> FlatSymmetricTensor:
+        if self._cache is None:
+            self._cache = self._parent._materialize_partial(self._fixed)
+        return self._cache
+
+    @property
+    def data(self) -> jnp.ndarray:
+        return self.toflat().data
+
+    def todense(self) -> jnp.ndarray:
+        return self.toflat().todense()
+
+    def astype(self, dtype) -> FlatSymmetricTensor:
+        return self.toflat().astype(dtype)
+
+    # ---------------------------------------------------------- indexing
+
+    def element(self, idx) -> jnp.ndarray:
+        idx = self._canon_index(idx)
+        return self._parent.element(self._fixed + tuple(idx))
+
+    def class_values(self, cls) -> jnp.ndarray:
+        return self.toflat().class_values(cls)
+
+    def _partial(self, idx: Tuple[int, ...]):
+        if all(isinstance(i, (int, np.integer)) for i in idx):
+            # deepen the view — still O(1)
+            return FlatSymmetricTensorSlice(
+                self._parent, self._fixed + tuple(int(i) for i in idx)
+            )
+        return self.toflat()._partial(idx)
+
+    # views are read-only windows; updates materialize first
+    def set_class(self, cls, value) -> FlatSymmetricTensor:
+        return self.toflat().set_class(cls, value)
+
+    def set_element(self, idx, value) -> FlatSymmetricTensor:
+        return self.toflat().set_element(idx, value)
+
+    def __repr__(self):
+        return (
+            f"FlatSymmetricTensorSlice(rank={self.rank}, dim={self.dim}, "
+            f"fixed={self._fixed}, lazy={self._cache is None})"
         )

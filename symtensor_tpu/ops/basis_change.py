@@ -81,6 +81,9 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
         col_sharded = NamedSharding(mesh, PartitionSpec(None, axis))
         repl = NamedSharding(mesh, PartitionSpec())
 
+    nseg = -(-n_k // seg)
+    n_k_pad = nseg * seg
+
     def kern(rows, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
         if mesh_axis is not None:
             # parents replicated (one all-gather per block when the caller
@@ -90,20 +93,26 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
         Wc = jax.lax.dynamic_slice(
             Wm, (0, b_lo), (Wm.shape[0], w_pad)
         )
-        outs = []
-        for s0 in range(0, n_k, seg):
-            s1 = min(s0 + seg, n_k)
+        pad = n_k_pad - n_k
+        tbl = tbl_or_rep
+        if pad:
+            tbl = jnp.concatenate(
+                [tbl, jnp.broadcast_to(tbl[:1], (pad,) + tbl.shape[1:])]
+            )
+        tbl = tbl.reshape((nseg, seg) + tbl.shape[1:])
+
+        def seg_body(tseg):
             if onthefly:
-                rep = tbl_or_rep[s0:s1]  # (s, k)
+                # closed-form insert positions: sort(rep ∪ i), rank
                 ins = jnp.broadcast_to(
                     jnp.arange(d, dtype=jnp.int32)[None, :, None],
-                    (s1 - s0, d, 1),
+                    (seg, d, 1),
                 )
                 full = jnp.sort(
                     jnp.concatenate(
                         [
                             jnp.broadcast_to(
-                                rep[:, None, :], (s1 - s0, d, k)
+                                tseg[:, None, :], (seg, d, k)
                             ),
                             ins,
                         ],
@@ -111,15 +120,21 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
                     ),
                     axis=2,
                 )
-                sl = t_kp1.position_jnp(full)  # (s, d)
+                sl = t_kp1.position_jnp(full)  # (seg, d)
             else:
-                sl = tbl_or_rep[s0:s1]  # (s, d)
-            G = rows[:, sl].astype(acc_dt)  # (npar, s, d)
+                sl = tseg  # (seg, d)
+            G = rows[:, sl].astype(acc_dt)  # (npar, seg, d)
             H = jnp.einsum(
                 "pji,ib->pjb", G, Wc, preferred_element_type=acc_dt
             )
-            outs.append(H[sel_par, :, sel_b])  # (nsel_pad, s)
-        out = jnp.concatenate(outs, axis=1).astype(store_dt)
+            return H[sel_par, :, sel_b].astype(store_dt)  # (nsel_pad, seg)
+
+        if nseg == 1:
+            out = seg_body(tbl[0])
+        else:
+            # one traced segment body → small program, bounded temps
+            out = jax.lax.map(seg_body, tbl)  # (nseg, nsel_pad, seg)
+            out = out.transpose(1, 0, 2).reshape(-1, n_k_pad)[:, :n_k]
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
         return out
@@ -264,6 +279,7 @@ def basis_change_packed(
 
     def run_chunk(t, blk, kern, tbl_arg, b_lo, sel_par, sel_b, nsel_pad):
         nonlocal out_buf
+        stats["chunks"] += 1
         child_level = t + 1
         nsel = len(sel_par)
         pad = nsel_pad - nsel
@@ -291,8 +307,26 @@ def basis_change_packed(
         child = _Block(child_U, sel_b.astype(np.int64), child_reps, nsel)
         process(child_level, child)
 
+    verbose = os.environ.get("SYMTENSOR_BASIS_VERBOSE", "") not in ("", "0")
+    stats = {"chunks": 0, "t0": None}
+    if verbose:
+        import sys
+        import time as _time
+
+        stats["t0"] = _time.time()
+
     def process(t, blk):
         """Produce and recurse into all child blocks of `blk` (level t)."""
+        if verbose:
+            import sys
+            import time as _time
+
+            print(
+                f"[basis {_time.time()-stats['t0']:8.1f}s] level {t} "
+                f"block rows={blk.nrows} chunks so far={stats['chunks']}",
+                file=sys.stderr,
+                flush=True,
+            )
         child_level = t + 1
         k = r - t - 1  # original indices remaining after this step
         n_k = comb.indep_size(k, d)
@@ -300,9 +334,13 @@ def basis_change_packed(
         Rc = R[child_level]
         wp = w_pad[child_level]
         tbl_arg, onthefly = insert_map(k)
-        seg = int(
-            max(1, min(n_k, transient_elems // max(1, npar_pad * (d + wp))))
-        )
+        # per-segment-element transient cost: the (npar, seg, d) gather and
+        # (npar, seg, w) product, plus — on the on-the-fly path — the
+        # (seg, d, k+1) index construction with its sort double-buffers
+        cost = npar_pad * (d + wp)
+        if onthefly:
+            cost += d * (k + 1) * 6
+        seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
         kern = _step_kernel(
             n_k, d, k, wp, Rc, seg, str(store_dt), str(acc_dt), onthefly,
             None if mesh is None else (mesh, tp_axis),

@@ -46,11 +46,11 @@ def _promote(a: SymmetricTensor, b: SymmetricTensor):
     """Bring both operands to a common format; return (a, b)."""
     from ..utils.profiling import count_fallback
 
-    if a.format == "decomp":
-        count_fallback("elementwise.decomp_to_flat", "(decomp operand expanded)")
+    if a.format in ("decomp", "sparse_flat"):
+        count_fallback("elementwise.decomp_to_flat", "(operand expanded)")
         a = a.toflat()
-    if b.format == "decomp":
-        count_fallback("elementwise.decomp_to_flat", "(decomp operand expanded)")
+    if b.format in ("decomp", "sparse_flat"):
+        count_fallback("elementwise.decomp_to_flat", "(operand expanded)")
         b = b.toflat()
     if a.format == b.format:
         return a, b
@@ -71,7 +71,7 @@ def _map_leaves(t: SymmetricTensor, fn: Callable):
         return type(t)._raw(
             t.rank, t.dim, {k: fn(v) for k, v in t.data.items()}
         )
-    if t.format == "decomp":
+    if t.format in ("decomp", "sparse_flat"):
         return _map_leaves(t.toflat(), fn)
     raise TypeError(f"unknown format {t.format!r}")
 
@@ -106,6 +106,11 @@ def binary(op_name: str, a, b, reverse: bool = False):
     decomp_result = _try_decomp_binary(op_name, a, b, a_sym, b_sym)
     if decomp_result is not NotImplemented:
         return decomp_result
+
+    # Sparse storage stays sparse under scaling and sparse+sparse addition.
+    sparse_result = _try_sparse_binary(op_name, a, b, a_sym, b_sym)
+    if sparse_result is not NotImplemented:
+        return sparse_result
 
     if a_sym and b_sym:
         # rank-0 operands broadcast as scalars (format-agnostic: permcls
@@ -176,6 +181,25 @@ def _try_decomp_binary(op_name, a, b, a_sym, b_sym):
                 jnp.ones((b.dim,), dtype=b.dtype), b.rank
             ).scale(jnp.asarray(a))
             return ones.add_decomp(b.scale(-1.0))
+    return NotImplemented
+
+
+def _try_sparse_binary(op_name, a, b, a_sym, b_sym):
+    """Structure-preserving sparse arithmetic; NotImplemented → generic."""
+    a_sp = a_sym and a.format == "sparse_flat"
+    b_sp = b_sym and b.format == "sparse_flat"
+    if not (a_sp or b_sp):
+        return NotImplemented
+    if a_sp and b_sp and op_name in ("add", "subtract"):
+        other = b.scale(-1.0) if op_name == "subtract" else b
+        return a.add_sparse(other)
+    if a_sp and _is_scalar(b):
+        if op_name == "multiply":
+            return a.scale(b)
+        if op_name == "divide":
+            return a.scale(1.0 / jnp.asarray(b))
+    if b_sp and _is_scalar(a) and op_name == "multiply":
+        return b.scale(a)
     return NotImplemented
 
 

@@ -136,11 +136,14 @@ def test_gather_mm_kernel(rng):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-5, atol=1e-6)
 
 
-def test_outer_grad_through_mxu_gathers(rng):
+def test_outer_grad_through_mxu_gathers():
     from symtensor_tpu.ops.symmetrize import symmetrize as symz
 
-    dense = np.asarray(symz(rng.normal(size=(4, 4))))
-    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense, jnp.float32))
+    # local fixed seed: the session rng's state depends on test ordering,
+    # and a forward difference in f32 is draw-sensitive (round-2 flake)
+    local = np.random.default_rng(42)
+    dense = np.asarray(symz(local.normal(size=(4, 4))))
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense, jnp.float64))
 
     def loss(A):
         import symtensor_tpu.ops as symalg
@@ -149,11 +152,12 @@ def test_outer_grad_through_mxu_gathers(rng):
 
     g = jax.grad(loss)(A)
     assert isinstance(g, st.FlatSymmetricTensor)
-    # numeric check
-    eps = 1e-3
-    A2 = st.FlatSymmetricTensor._raw(2, 4, A.data.at[1].add(eps))
-    num = (loss(A2) - loss(A)) / eps
-    np.testing.assert_allclose(float(num), float(g.data[1]), rtol=2e-2)
+    # numeric check: central difference in f64
+    eps = 1e-5
+    Ap = st.FlatSymmetricTensor._raw(2, 4, A.data.at[1].add(eps))
+    Am = st.FlatSymmetricTensor._raw(2, 4, A.data.at[1].add(-eps))
+    num = (loss(Ap) - loss(Am)) / (2 * eps)
+    np.testing.assert_allclose(float(num), float(g.data[1]), rtol=1e-6)
 
 
 def test_batched_fast_views_matches(rng):
