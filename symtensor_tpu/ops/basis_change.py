@@ -59,6 +59,10 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
+def _fence_every() -> int:
+    return _env_int("SYMTENSOR_BASIS_FENCE_EVERY", 4)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels — one compile per (level shape), cached
 # ---------------------------------------------------------------------------
@@ -303,6 +307,18 @@ def basis_change_packed(
             out_buf = _emit_kernel(str(store_dt))(
                 out_buf, jnp.asarray(pos_pad), child_U[:, 0]
             )
+            # Throttle: dispatch is fully asynchronous, so without a fence
+            # the host enqueues entire sub-trees and every pending block
+            # buffer stays allocated (observed OOM at flagship size).  A
+            # scalar readback is the only reliable fence through the axon
+            # tunnel (CLAUDE.md); forcing the newest emit drains the whole
+            # dependency chain behind it.
+            stats["emits"] = stats.get("emits", 0) + 1
+            if (
+                not isinstance(out_buf, jax.core.Tracer)
+                and stats["emits"] % _fence_every() == 0
+            ):
+                float(out_buf[-1])
             return
         child = _Block(child_U, sel_b.astype(np.int64), child_reps, nsel)
         process(child_level, child)

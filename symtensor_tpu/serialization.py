@@ -22,6 +22,7 @@ from .core.decomp import DecompSymmetricTensor
 from .core.dense import DenseSymmetricTensor
 from .core.flat import FlatSymmetricTensor
 from .core.permcls import PermClsSymmetricTensor
+from .core.sparse_flat import SparseFlatSymmetricTensor
 from .utils import combinatorics as comb
 
 FORMATS = {
@@ -29,6 +30,7 @@ FORMATS = {
     "flat": FlatSymmetricTensor,
     "permcls": PermClsSymmetricTensor,
     "decomp": DecompSymmetricTensor,
+    "sparse_flat": SparseFlatSymmetricTensor,
 }
 
 
@@ -52,6 +54,11 @@ def to_dict(t: SymmetricTensor) -> dict:
             "weights": np.asarray(t.weights).tolist(),
             "factors": np.asarray(t.factors).tolist(),
             "multiplicities": list(t.multiplicities),
+        }
+    elif t.format == "sparse_flat":
+        head["data"] = {
+            "values": np.asarray(t.bcoo.data).tolist(),
+            "indices": np.asarray(t.rep).tolist(),
         }
     else:
         raise TypeError(f"unknown format {t.format!r}")
@@ -86,6 +93,12 @@ def from_dict(d: dict) -> SymmetricTensor:
             jnp.asarray(np.array(data["factors"], dtype=dtype)),
             tuple(data["multiplicities"]),
         )
+    if fmt == "sparse_flat":
+        idx = np.array(data["indices"], dtype=np.int64).reshape(-1, rank)
+        return SparseFlatSymmetricTensor.from_entries(
+            rank, dim, idx, np.array(data["values"], dtype=dtype),
+            dtype=dtype,
+        )
     raise TypeError(f"unknown format {fmt!r}")
 
 
@@ -118,6 +131,9 @@ def save(path: str, t: SymmetricTensor) -> None:
         meta["multiplicities"] = list(t.multiplicities)
         arrays["weights"] = np.asarray(t.weights)
         arrays["factors"] = np.asarray(t.factors)
+    elif t.format == "sparse_flat":
+        arrays["values"] = np.asarray(t.bcoo.data)
+        arrays["indices"] = np.asarray(t.rep)
     np.savez(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -145,5 +161,9 @@ def load(path: str) -> SymmetricTensor:
                 jnp.asarray(z["weights"]),
                 jnp.asarray(z["factors"]),
                 tuple(meta["multiplicities"]),
+            )
+        if fmt == "sparse_flat":
+            return SparseFlatSymmetricTensor.from_entries(
+                rank, dim, z["indices"].astype(np.int64), z["values"]
             )
     raise TypeError(f"unknown format {fmt!r}")

@@ -104,6 +104,44 @@ class TestDecompSuite(SymTensorSuite):
         assert t.toflat().allclose(b.toflat())
 
 
+class TestSparseFlatSuite(SymTensorSuite):
+    """The experimental BCOO-backed format passes the same battery through
+    a from_dense/zeros facade; functional updates materialize to flat (the
+    battery checks values, not returned storage class)."""
+
+    class _SparseFacade:
+        @staticmethod
+        def from_dense(arr, **kw):
+            return st.SparseFlatSymmetricTensor.from_flat(
+                st.FlatSymmetricTensor.from_dense(arr, **kw)
+            )
+
+        @staticmethod
+        def zeros(rank, dim, dtype=None):
+            return st.SparseFlatSymmetricTensor.from_flat(
+                st.FlatSymmetricTensor.zeros(rank, dim, dtype=dtype)
+            )
+
+    tensor_cls = _SparseFacade
+    atol = 1e-8
+
+    def test_illegal_initializations(self):
+        with pytest.raises((TypeError, ValueError)):
+            self.tensor_cls(rank=2)
+        bad = np.arange(9.0).reshape(3, 3)
+        with pytest.raises((ValueError, NotImplementedError)):
+            self.tensor_cls.from_dense(jnp.asarray(bad))
+
+    def test_jit(self):
+        # sparse leaves jit fine but the generic body densifies storage;
+        # the sparse jit story is covered in tests/test_views_sparse.py
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            super().test_jit()
+
+
 def test_does_not_warn_helper():
     with does_not_warn():
         pass
