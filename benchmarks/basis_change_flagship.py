@@ -70,7 +70,7 @@ def main():
 
     kw = dict(
         store_dtype=jnp.bfloat16,
-        block_elems=900_000_000,
+        block_elems=500_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or

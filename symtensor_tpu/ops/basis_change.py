@@ -69,14 +69,17 @@ def _fence_every() -> int:
 
 
 @lru_cache(maxsize=None)
-def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
-                 onthefly, mesh_axis=None):
-    """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children
-    (nsel_pad, n_k).  `seg` tiles the n_k axis so the gather transient stays
-    bounded.  With `onthefly` the insert positions are computed from the
-    level-k representative table by the closed-form gflat ranking instead of
-    a materialized (n_k, d) gather map (needed when that map would exceed
-    the table guard — 9.2e9 int32 at rank-6 dim-100)."""
+def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
+                 store_dt, acc_dt, onthefly, mesh_axis=None):
+    """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children,
+    flattened (nsel_pad·n_k,).  Blocks travel as 1-D buffers so the root can
+    be the tensor's own packed leaf with no reshape copy (a 2-D eager
+    reshape of the 3.2 GB flagship leaf doubled residency); the 2-D views
+    exist only inside the jit, where reshapes are free.  `seg` tiles the n_k
+    axis so the gather transient stays bounded.  With `onthefly` the insert
+    positions are computed from the level-k representative table by the
+    closed-form gflat ranking instead of a materialized (n_k, d) gather map
+    (which would be 9.2e9 int32 at rank-6 dim-100)."""
     t_kp1 = tables(k + 1, d)
     if mesh_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -88,12 +91,19 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
     nseg = -(-n_k // seg)
     n_k_pad = nseg * seg
 
-    def kern(rows, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
-        if mesh_axis is not None:
-            # parents replicated (one all-gather per block when the caller
-            # hands in a column-sharded previous level); children column-
-            # sharded — each device computes its n_k slice locally.
-            rows = jax.lax.with_sharding_constraint(rows, repl)
+    width_par = sum(piece_lens) // npar
+    multi = len(piece_lens) > 1  # root leaf split to dodge the ~2 GiB
+    # gather-operand limit (oversized gather sources crash the TPU worker)
+
+    def kern(rows_pieces, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
+        if not multi:
+            rows = rows_pieces[0].reshape(npar, width_par)
+            if mesh_axis is not None:
+                # parents replicated (one all-gather per block when the
+                # caller hands in a column-sharded previous level);
+                # children column-sharded — each device computes its n_k
+                # slice locally.
+                rows = jax.lax.with_sharding_constraint(rows, repl)
         Wc = jax.lax.dynamic_slice(
             Wm, (0, b_lo), (Wm.shape[0], w_pad)
         )
@@ -108,6 +118,7 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
         def seg_body(tseg):
             if onthefly:
                 # closed-form insert positions: sort(rep ∪ i), rank
+                rep = tseg.astype(jnp.int32)  # rep tables may be int8/16
                 ins = jnp.broadcast_to(
                     jnp.arange(d, dtype=jnp.int32)[None, :, None],
                     (seg, d, 1),
@@ -116,7 +127,7 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
                     jnp.concatenate(
                         [
                             jnp.broadcast_to(
-                                tseg[:, None, :], (seg, d, k)
+                                rep[:, None, :], (seg, d, k)
                             ),
                             ins,
                         ],
@@ -127,7 +138,23 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
                 sl = t_kp1.position_jnp(full)  # (seg, d)
             else:
                 sl = tseg  # (seg, d)
-            G = rows[:, sl].astype(acc_dt)  # (npar, seg, d)
+            if multi:
+                # masked multi-piece gather (npar == 1 on this path)
+                acc = jnp.zeros(sl.shape, acc_dt)
+                off = 0
+                for piece in rows_pieces:
+                    L = piece.shape[0]
+                    loc = sl - off
+                    m = (loc >= 0) & (loc < L)
+                    acc = acc + jnp.where(
+                        m,
+                        piece[jnp.clip(loc, 0, L - 1)].astype(acc_dt),
+                        jnp.zeros((), acc_dt),
+                    )
+                    off += L
+                G = acc[None]  # (1, seg, d)
+            else:
+                G = rows[:, sl].astype(acc_dt)  # (npar, seg, d)
             H = jnp.einsum(
                 "pji,ib->pjb", G, Wc, preferred_element_type=acc_dt
             )
@@ -141,7 +168,7 @@ def _step_kernel(n_k, d, k, w_pad, nsel_pad, seg, store_dt, acc_dt,
             out = out.transpose(1, 0, 2).reshape(-1, n_k_pad)[:, :n_k]
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
-        return out
+        return out.reshape(-1)
 
     return jax.jit(kern)
 
@@ -160,16 +187,19 @@ def _emit_kernel(dt):
 
 
 class _Block:
-    """One resident block of level-t rows: device values + host bookkeeping
-    (max element and representative multiset per row, sorted by max)."""
+    """One resident block of level-t rows: device values (flattened
+    (nrows_pad·width,)) + host bookkeeping (max element and representative
+    multiset per row, sorted by max)."""
 
-    __slots__ = ("U", "maxels", "reps", "nrows")
+    __slots__ = ("U", "maxels", "reps", "nrows", "npar", "width")
 
-    def __init__(self, U, maxels, reps, nrows):
-        self.U = U  # (nrows_pad, width) device
+    def __init__(self, U, maxels, reps, nrows, npar, width):
+        self.U = U  # tuple of 1-D device pieces, total npar·width
         self.maxels = maxels  # (nrows,) np int64, ascending
         self.reps = reps  # (nrows, t) np int32, rows sorted ascending
         self.nrows = nrows
+        self.npar = npar  # padded row count
+        self.width = width
 
 
 def _row_budgets(r, d_out, widths, total_elems):
@@ -270,7 +300,16 @@ def basis_change_packed(
             if n_k * d <= fly_limit:
                 _maps[k] = (tables(r, d).insert_table(k), False)
             else:
-                _maps[k] = (tables(k, d).rep, True)
+                # narrowest integer type that holds index values: the k=5
+                # flagship rep table is 460 MB int8 instead of 1.84 GB int32
+                rep_np = tables(k, d).rep_np()
+                if d <= 127:
+                    dt = np.int8
+                elif d <= 32767:
+                    dt = np.int16
+                else:
+                    dt = np.int32
+                _maps[k] = (jnp.asarray(rep_np.astype(dt)), True)
         return _maps[k]
 
     # Zero-pad W's columns by the largest window so the in-kernel
@@ -295,7 +334,7 @@ def basis_change_packed(
         ).astype(np.int32)
         child_U = kern(
             blk.U, tbl_arg, Wdev, b_lo, jnp.asarray(sp), jnp.asarray(sb_rel)
-        )
+        )  # flattened (nsel_pad · n_k_child,)
         child_reps = np.concatenate(
             [blk.reps[sel_par], sel_b[:, None].astype(np.int32)], axis=1
         )
@@ -305,7 +344,7 @@ def basis_change_packed(
                 [pos, np.full(pad, n_out, np.int64)]
             )
             out_buf = _emit_kernel(str(store_dt))(
-                out_buf, jnp.asarray(pos_pad), child_U[:, 0]
+                out_buf, jnp.asarray(pos_pad), child_U
             )
             # Throttle: dispatch is fully asynchronous, so without a fence
             # the host enqueues entire sub-trees and every pending block
@@ -320,7 +359,13 @@ def basis_change_packed(
             ):
                 float(out_buf[-1])
             return
-        child = _Block(child_U, sel_b.astype(np.int64), child_reps, nsel)
+        # optional per-chunk fence (diagnoses tunnel-side buffer pileup)
+        if not isinstance(child_U, jax.core.Tracer) and _fence_every() == 1:
+            float(child_U[0])
+        child = _Block(
+            (child_U,), sel_b.astype(np.int64), child_reps, nsel,
+            nsel_pad, comb.indep_size(r - child_level, d),
+        )
         process(child_level, child)
 
     verbose = os.environ.get("SYMTENSOR_BASIS_VERBOSE", "") not in ("", "0")
@@ -337,16 +382,22 @@ def basis_change_packed(
             import sys
             import time as _time
 
+            live = stats.get("live_blocks", {})
+            live[t] = sum(
+                int(p.size) * p.dtype.itemsize for p in blk.U
+            )
+            stats["live_blocks"] = live
             print(
                 f"[basis {_time.time()-stats['t0']:8.1f}s] level {t} "
-                f"block rows={blk.nrows} chunks so far={stats['chunks']}",
+                f"block rows={blk.nrows} chunks so far={stats['chunks']} "
+                f"live block bytes≈{sum(live.values())/1e9:.2f}G",
                 file=sys.stderr,
                 flush=True,
             )
         child_level = t + 1
         k = r - t - 1  # original indices remaining after this step
         n_k = comb.indep_size(k, d)
-        npar_pad = int(blk.U.shape[0])
+        npar_pad = blk.npar
         Rc = R[child_level]
         wp = w_pad[child_level]
         tbl_arg, onthefly = insert_map(k)
@@ -358,7 +409,9 @@ def basis_change_packed(
             cost += d * (k + 1) * 6
         seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
         kern = _step_kernel(
-            n_k, d, k, wp, Rc, seg, str(store_dt), str(acc_dt), onthefly,
+            blk.npar, tuple(int(p.shape[0]) for p in blk.U),
+            n_k, d, k, wp, Rc, seg,
+            str(store_dt), str(acc_dt), onthefly,
             None if mesh is None else (mesh, tp_axis),
         )
         # parents available per new max element b (prefix property)
@@ -397,11 +450,28 @@ def basis_change_packed(
                     np.concatenate(sel_par), np.concatenate(sel_b), Rc,
                 )
 
+    # Split the root leaf into pieces under the gather-operand byte limit
+    # (oversized gather sources crash the TPU worker); a single piece means
+    # the tensor's own leaf is used with no copy.
+    root_vals = A.data.astype(store_dt)
+    gmax = _env_int("SYMTENSOR_GATHER_MAX_BYTES", (1 << 31) - (1 << 27))
+    nbytes = root_vals.size * root_vals.dtype.itemsize
+    if nbytes > gmax:
+        npieces = -(-nbytes // gmax)
+        L = -(-root_vals.size // npieces)
+        pieces = tuple(
+            root_vals[p * L : min((p + 1) * L, root_vals.size)]
+            for p in range(npieces)
+        )
+    else:
+        pieces = (root_vals,)
     root = _Block(
-        A.data.astype(store_dt).reshape(1, -1),
+        pieces,
         np.zeros(1, dtype=np.int64),
         np.zeros((1, 0), dtype=np.int32),
         1,
+        1,
+        comb.indep_size(r, d),
     )
     process(0, root)
     return FlatSymmetricTensor._raw(r, d_out, out_buf[:n_out])
