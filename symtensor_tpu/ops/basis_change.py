@@ -109,33 +109,41 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
         )
         pad = n_k_pad - n_k
         tbl = tbl_or_rep
-        if pad:
-            tbl = jnp.concatenate(
-                [tbl, jnp.broadcast_to(tbl[:1], (pad,) + tbl.shape[1:])]
-            )
-        tbl = tbl.reshape((nseg, seg) + tbl.shape[1:])
+        if onthefly:
+            # rep table arrives FLAT 1-D (row-major (n_k, k) flattened):
+            # a (n_k, k) device array would physically occupy ~128/k× its
+            # logical size (last-dim lane tiling)
+            if pad:
+                tbl = jnp.concatenate(
+                    [tbl, jnp.zeros((pad * k,), tbl.dtype)]
+                )
+            tbl = tbl.reshape(nseg, seg * k)
+        else:
+            if pad:
+                tbl = jnp.concatenate(
+                    [tbl, jnp.broadcast_to(tbl[:1], (pad,) + tbl.shape[1:])]
+                )
+            tbl = tbl.reshape((nseg, seg) + tbl.shape[1:])
 
         def seg_body(tseg):
             if onthefly:
-                # closed-form insert positions: sort(rep ∪ i), rank
-                rep = tseg.astype(jnp.int32)  # rep tables may be int8/16
-                ins = jnp.broadcast_to(
-                    jnp.arange(d, dtype=jnp.int32)[None, :, None],
-                    (seg, d, 1),
+                # closed-form insert positions: sort(rep ∪ i), rank —
+                # components stacked on the LEADING axis so the sort and
+                # ranking operate on (seg, d)-tiled planes, not on a
+                # lane-padded (… , k+1) trailing axis
+                rep_T = tseg.reshape(seg, k).astype(jnp.int32).T  # (k, seg)
+                full_T = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(rep_T[:, :, None], (k, seg, d)),
+                        jnp.broadcast_to(
+                            jnp.arange(d, dtype=jnp.int32)[None, None, :],
+                            (1, seg, d),
+                        ),
+                    ],
+                    axis=0,
                 )
-                full = jnp.sort(
-                    jnp.concatenate(
-                        [
-                            jnp.broadcast_to(
-                                rep[:, None, :], (seg, d, k)
-                            ),
-                            ins,
-                        ],
-                        axis=2,
-                    ),
-                    axis=2,
-                )
-                sl = t_kp1.position_jnp(full)  # (seg, d)
+                full_T = jnp.sort(full_T, axis=0)
+                sl = t_kp1.position_jnp_T(full_T)  # (seg, d)
             else:
                 sl = tseg  # (seg, d)
             if multi:
@@ -300,8 +308,11 @@ def basis_change_packed(
             if n_k * d <= fly_limit:
                 _maps[k] = (tables(r, d).insert_table(k), False)
             else:
-                # narrowest integer type that holds index values: the k=5
-                # flagship rep table is 460 MB int8 instead of 1.84 GB int32
+                # FLAT 1-D upload in the narrowest integer type that holds
+                # the dimension: a 2-D (n_k, k) device array would tile its
+                # last dim to 128 lanes (~128/k× physical blowup — the k=5
+                # flagship table would occupy ~47 GB as int32 2-D; flat
+                # int8 it is 460 MB)
                 rep_np = tables(k, d).rep_np()
                 if d <= 127:
                     dt = np.int8
@@ -309,7 +320,10 @@ def basis_change_packed(
                     dt = np.int16
                 else:
                     dt = np.int32
-                _maps[k] = (jnp.asarray(rep_np.astype(dt)), True)
+                _maps[k] = (
+                    jnp.asarray(rep_np.astype(dt).reshape(-1)),
+                    True,
+                )
         return _maps[k]
 
     # Zero-pad W's columns by the largest window so the in-kernel

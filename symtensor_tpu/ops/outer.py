@@ -254,14 +254,30 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
     r_out = ka + kb
     t_out = tables(r_out, dim)
     n_out = t_out.n
-    rep_out = t_out.rep  # (n_out, r_out) int32 device — guarded, r_out·n_out
+    # Layout discipline: TPU arrays tile their last dim to 128 lanes, so
+    # (N, small-rank) index tables are uploaded FLAT and index components
+    # live on LEADING axes in-kernel (see ops/basis_change.py for the same
+    # pattern and the measured blowups).
+    idt = np.int8 if dim <= 127 else (
+        np.int16 if dim <= 32767 else np.int32
+    )
+    rep_flat = jnp.asarray(
+        (
+            t_out.rep_np()
+            if r_out > 0
+            else np.zeros((1, 0), np.int64)
+        ).astype(idt).reshape(-1)
+    )
     t_a, t_b = tables(ra, dim), tables(rb, dim)
     tk = tables(k, dim)
-    creps = tk.rep if k > 0 else jnp.zeros((1, 0), jnp.int32)  # (n_k, k)
-    n_k = creps.shape[0]
-    gam = (
-        tk.multiplicity if k > 0 else jnp.ones((1,), jnp.float32)
-    ).astype(af.dtype)
+    if k > 0:
+        creps_T = jnp.asarray(tk.rep_np().astype(np.int32).T)  # (k, n_k)
+        gam = tk.multiplicity.astype(af.dtype)
+        n_k = creps_T.shape[1]
+    else:
+        creps_T = jnp.zeros((0, 1), jnp.int32)
+        gam = jnp.ones((1,), af.dtype)
+        n_k = 1
     subsets = list(itertools.combinations(range(r_out), ka))
     n_sub = len(subsets)
 
@@ -275,48 +291,55 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
     nblk = -(-n_out // B)
     pad = nblk * B - n_out
     rep_pad = (
-        jnp.concatenate([rep_out, jnp.broadcast_to(rep_out[:1], (pad, r_out))])
+        jnp.concatenate([rep_flat, jnp.zeros((pad * r_out,), rep_flat.dtype)])
         if pad
-        else rep_out
+        else rep_flat
     )
 
     a_data, b_data = af.data, bf.data
 
-    def pos_of(t_fmt, part, rank_part):
-        # part: (n_k, B, rank_part − k) output-part indices; concat the
-        # contraction multiset, sort, rank. rank_part ≥ 1 guaranteed when
-        # called (k ≥ 1 or part nonempty).
-        full = jnp.concatenate(
+    def pos_of_T(t_fmt, part_T, rank_part):
+        # part_T: (rank_part − k, n_k, B) output-part index components on
+        # the leading axis; append the contraction multiset, sort along
+        # axis 0 (a compare-exchange network over (n_k, B) planes), rank.
+        full_T = jnp.concatenate(
             [
-                part,
-                jnp.broadcast_to(creps[:, None, :], (n_k, part.shape[1], k)),
+                part_T,
+                jnp.broadcast_to(
+                    creps_T[:, :, None], (k, n_k, part_T.shape[2])
+                ),
             ],
-            axis=2,
+            axis=0,
         )
-        full = jnp.sort(full, axis=2)
+        full_T = jnp.sort(full_T, axis=0)
         if rank_part == 1:
-            return full[..., 0]
-        return t_fmt.position_jnp(full)
+            return full_T[0]
+        return t_fmt.position_jnp_T(full_T)
 
-    def body(rep_blk):  # (B, r_out)
-        acc = jnp.zeros((rep_blk.shape[0],), dtype=af.dtype)
+    def body(rep_blk_flat):  # (B·r_out,)
+        rep_T = (
+            rep_blk_flat.reshape(B, r_out).astype(jnp.int32).T
+            if r_out
+            else jnp.zeros((0, B), jnp.int32)
+        )  # (r_out, B)
+        acc = jnp.zeros((B,), dtype=af.dtype)
         for S in subsets:
             Sc = tuple(i for i in range(r_out) if i not in S)
             ia = jnp.broadcast_to(
-                rep_blk[None, :, list(S)], (n_k, rep_blk.shape[0], ka)
+                rep_T[list(S), None, :], (ka, n_k, B)
             )
             ib = jnp.broadcast_to(
-                rep_blk[None, :, list(Sc)], (n_k, rep_blk.shape[0], kb)
+                rep_T[list(Sc), None, :], (kb, n_k, B)
             )
-            pa = pos_of(t_a, ia, ra)  # (n_k, B)
-            pb = pos_of(t_b, ib, rb)
+            pa = pos_of_T(t_a, ia, ra)  # (n_k, B)
+            pb = pos_of_T(t_b, ib, rb)
             term = jnp.einsum(
                 "c,cb->b", gam, a_data[pa] * b_data[pb]
             )
             acc = acc + term
         return acc / n_sub
 
-    out = jax.lax.map(body, rep_pad.reshape(nblk, B, r_out))
+    out = jax.lax.map(body, rep_pad.reshape(nblk, B * r_out))
     return out.reshape(-1)[:n_out]
 
 

@@ -131,6 +131,29 @@ class Tables:
         tri = a * (2 * side - a + 1) // 2 + (b - a)
         return self.group_off[j] + hrank * self.group_T[j] + tri
 
+    def position_jnp_T(self, sorted_idx_T: jnp.ndarray) -> jnp.ndarray:
+        """position_jnp with the index components stacked on the LEADING
+        axis: (rank, ...) → (...,) int32.  TPU arrays tile their last two
+        dims to (sublane, 128-lane) blocks, so a (N, rank) index array
+        physically occupies ~128/rank× its logical size; the transposed
+        layout keeps the big axis on the lanes."""
+        r, d = self.rank, self.dim
+        idx = sorted_idx_T.astype(jnp.int32)
+        if r == 1:
+            return idx[0]
+        if r == 2:
+            a, b = idx[0], idx[1]
+            return a * (2 * d - a + 1) // 2 + (b - a)
+        j = idx[r - 3]
+        hrank = jnp.zeros(idx.shape[1:], dtype=jnp.int32)
+        for t in range(r - 3):
+            hrank = hrank + self.pascal[idx[t] + t, t + 1]
+        a = idx[r - 2] - j
+        b = idx[r - 1] - j
+        side = d - j
+        tri = a * (2 * side - a + 1) // 2 + (b - a)
+        return self.group_off[j] + hrank * self.group_T[j] + tri
+
     # ------------------------------------------------------------ big tables
 
     @property
