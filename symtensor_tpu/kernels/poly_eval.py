@@ -191,6 +191,147 @@ def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
 
 
 @lru_cache(maxsize=None)
+def _premul_static(rank: int, dim: int):
+    """Static per-group correction ratios for premultiplied views.
+
+    The per-group correction sum M·(c1·u_full + c2·u_row + c3·u_cell)
+    factors as M·c1·(u_full + ρ2·u_row + ρ3·u_cell) with x-INDEPENDENT
+    ratios ρ2 = c2/c1 = 1/(q+2) − 1 and ρ3 = c3/c1 (q = trailing run of j
+    in the head), so ρ2/ρ3 premultiply into the stored values — the
+    u_row/u_cell GEMVs disappear, along with their HBM re-reads (the
+    strided V[:, 0] cell column is 128-lane-tile amplified on TPU).
+
+    Returns per-group (rho2, rho3) float64 arrays of length P_j."""
+    hsize = rank - 3
+    if hsize == 0:
+        heads_max = np.full(1, -1, np.int64)
+        runs = np.zeros(1, np.int64)
+    else:
+        heads = comb.multisets_colex(dim, hsize)
+        heads_max = heads[:, -1]
+        runs = (heads == heads_max[:, None]).sum(axis=1)
+    P, T, goff, toff = _grouped_static(rank, dim)
+    out = []
+    for j in range(dim):
+        Pj = P[j]
+        q = np.where(heads_max[:Pj] == j, runs[:Pj], 0).astype(np.float64)
+        rho2 = 1.0 / (q + 2.0) - 1.0
+        rho3 = 2.0 / ((q + 2.0) * (q + 3.0)) - 1.0 / (q + 2.0)
+        out.append((rho2, rho3))  # float64; cast to storage dtype at build
+    return tuple(out)
+
+
+def group_views_premul(A: FlatSymmetricTensor):
+    """Per-group value matrices with the ρ2/ρ3 correction zones folded in:
+    evaluation needs ONE GEMV per group (vs full+row+cell). Cached on the
+    tensor like group_views; same orientation rules."""
+    cached = getattr(A, "_group_views_premul", None)
+    if cached is not None:
+        return cached
+    r, d = A.rank, A.dim
+    P, T, goff, _ = _grouped_static(r, d)
+    ratios = _premul_static(r, d)
+
+    @jax.jit
+    def prep(vals):
+        out = []
+        for j in range(d):
+            Pj, Tj = P[j], T[j]
+            chunk = jax.lax.slice(
+                vals, (goff[j],), (goff[j] + Pj * Tj,)
+            )
+            chunk = jax.lax.optimization_barrier(chunk)
+            V = chunk.reshape(Pj, Tj)
+            rho2, rho3 = ratios[j]
+            r2 = jnp.asarray(rho2).astype(vals.dtype)
+            r3 = jnp.asarray(rho3).astype(vals.dtype)
+            rl = d - j
+            parts = [V[:, :1] * (1.0 + r2 + r3)[:, None]]
+            if rl > 1:
+                parts.append(V[:, 1:rl] * (1.0 + r2)[:, None])
+            if Tj > rl:
+                parts.append(V[:, rl:])
+            Vp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+            out.append(Vp.T if _is_transposed(Pj, Tj) else Vp)
+        return tuple(out)
+
+    views = prep(A.data)
+    try:
+        object.__setattr__(A, "_group_views_premul", views)
+    except Exception:  # noqa: BLE001 — caching is best-effort
+        pass
+    return views
+
+
+@lru_cache(maxsize=None)
+def _views_eval_premul_jitted(rank: int, dim: int):
+    """Single-input evaluation over premultiplied views: per group one
+    GEMV + one weighted dot (no row/cell correction passes)."""
+    from ..utils.tables import tables as get_tables
+
+    def f(views, x):
+        t = get_tables(rank, dim)
+        x = jnp.asarray(x)
+        ct = jnp.result_type(views[0].dtype, x.dtype)
+        x = x.astype(ct)
+        ta, tb = t.tri_pairs
+        tri = x[ta] * x[tb]
+        tri = tri * (1.0 - 0.5 * (ta == tb).astype(ct))
+        M, maxel, maxrun = _head_weights(t, x, rank)
+        P, T, goff, toff = _grouped_static(rank, dim)
+        total = jnp.zeros((), dtype=ct)
+        for j in range(dim):
+            Pj, Tj = P[j], T[j]
+            V = views[j]
+            tri_j = jax.lax.slice(tri, (toff[j],), (toff[j] + Tj,))
+            if V.shape == (Tj, Pj) and Tj != Pj:
+                u = _dot1(V, tri_j, 0, ct)
+            else:
+                u = _dot1(V, tri_j, 1, ct)
+            q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
+            total = total + jnp.dot(M[:Pj] * (x[j] / (q + 1.0)), u)
+        return float(math.factorial(rank)) * total
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _views_eval_batched_premul_jitted(rank: int, dim: int):
+    """Batched evaluation over premultiplied views (one GEMM per group)."""
+    from ..utils.tables import tables as get_tables
+
+    def f(views, xs):
+        t = get_tables(rank, dim)
+        xs = jnp.asarray(xs)
+        ct = jnp.result_type(views[0].dtype, xs.dtype)
+        xs = xs.astype(ct)
+        ta, tb = t.tri_pairs
+        tri = xs[:, ta] * xs[:, tb]
+        tri = tri * (1.0 - 0.5 * (ta == tb).astype(ct))[None, :]
+        M, maxel, maxrun = _batched_head_weights(t, xs, rank, ct)
+        P, T, goff, toff = _grouped_static(rank, dim)
+        B = xs.shape[0]
+        total = jnp.zeros((B,), dtype=ct)
+        for j in range(dim):
+            Pj, Tj = P[j], T[j]
+            V = views[j]
+            tri_j = jax.lax.slice(tri, (0, toff[j]), (B, toff[j] + Tj))
+            ax = 0 if (V.shape == (Tj, Pj) and Tj != Pj) else 1
+            u = jax.lax.dot_general(
+                tri_j.astype(V.dtype),
+                V,
+                (((1,), (ax,)), ((), ())),
+                preferred_element_type=ct,
+            )  # (B, Pj)
+            q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
+            w = M[:, :Pj] * (xs[:, j : j + 1] / (q + 1.0)[None, :])
+            total = total + jnp.einsum("bp,bp->b", w, u)
+        return float(math.factorial(rank)) * total
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
 def _views_eval_jitted(rank: int, dim: int):
     """Cached jitted evaluator over pre-split group views — the fastest
     single-chip path (no per-call copies, clean 2-D layouts)."""
@@ -220,8 +361,8 @@ def poly_eval_flat_fast(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     r = A.rank
     if r < 3:
         return poly_eval_flat(A, x)
-    views = group_views(A)
-    return _views_eval_jitted(r, A.dim)(views, x)
+    views = group_views_premul(A)
+    return _views_eval_premul_jitted(r, A.dim)(views, x)
 
 
 def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
@@ -329,9 +470,15 @@ def _views_eval_batched_jitted(rank: int, dim: int):
 
 
 def poly_eval_flat_batched_fast(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
-    """Eager batched entry point over cached group views (no per-call
-    barrier copies). Use inside jit → poly_eval_flat_batched instead."""
+    """Eager batched entry point. Routes to the cell-major prefix-GEMM
+    kernel (kernels/cell_gemm.py) when the level-(r-2) monomial table is
+    modest — big-K GEMMs, no (B, ΣT_j) triangle intermediate — and to the
+    grouped-views path otherwise. Use inside jit → poly_eval_flat_batched."""
     if A.rank < 3:
         return poly_eval_flat_batched(A, xs)
-    views = group_views(A)
-    return _views_eval_batched_jitted(A.rank, A.dim)(views, xs)
+    from .cell_gemm import cell_eligible, poly_eval_cell_batched
+
+    if cell_eligible(A.rank, A.dim):
+        return poly_eval_cell_batched(A, xs)
+    views = group_views_premul(A)
+    return _views_eval_batched_premul_jitted(A.rank, A.dim)(views, xs)

@@ -216,12 +216,15 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
             f"xs second axis {xs.shape[1]} must equal dim {A.dim}"
         )
     if A.format == "flat":
-        # the barrier-copy path wins at small/medium n (dispatching the
-        # 100-leaf views tuple per call costs more than the copies, measured
-        # 2.3 ms vs 3.2 ms at rank-4 dim-100 B=1024); for very large
-        # tensors call kernels.poly_eval.poly_eval_flat_batched_fast.
+        # cell-major prefix GEMMs when eligible (rank ≥ 3, moderate
+        # level-(r-2) table): no (B, ΣT_j) triangle intermediate, big-K
+        # MXU GEMMs. Otherwise the grouped barrier-copy path (which beat
+        # the 100-leaf views-tuple dispatch at rank-4 dim-100, measured).
+        from ..kernels.cell_gemm import cell_eligible, poly_eval_cell_batched
         from ..kernels.poly_eval import poly_eval_flat_batched
 
+        if A.rank >= 3 and cell_eligible(A.rank, A.dim):
+            return poly_eval_cell_batched(A, xs)
         return poly_eval_flat_batched(A, xs)
     if A.format == "decomp":
         import string

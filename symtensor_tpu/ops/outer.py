@@ -258,9 +258,15 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
     # (N, small-rank) index tables are uploaded FLAT and index components
     # live on LEADING axes in-kernel (see ops/basis_change.py for the same
     # pattern and the measured blowups).
-    idt = np.int8 if dim <= 127 else (
-        np.int16 if dim <= 32767 else np.int32
-    )
+    import os as _os
+
+    _idt_env = _os.environ.get("SYMTENSOR_STREAM_IDT", "")
+    if _idt_env:
+        idt = np.dtype(_idt_env).type
+    else:
+        idt = np.int8 if dim <= 127 else (
+            np.int16 if dim <= 32767 else np.int32
+        )
     rep_flat = jnp.asarray(
         (
             t_out.rep_np()
@@ -281,11 +287,16 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
     subsets = list(itertools.combinations(range(r_out), ka))
     n_sub = len(subsets)
 
+    # Block size budgets the *peak* per-step intermediates, not just one
+    # index array: each of the n_sub subset terms materializes sort and
+    # gather temporaries of shape (rank, n_k, B). Undercounting this crashed
+    # the TPU worker (OOM through the tunnel) at rank-3×rank-3 dim-100.
+    per_elem = max(1, n_k * (ka + kb + k)) * max(1, min(n_sub, 4))
     B = max(
         1,
         min(
             n_out,
-            _streamed_block_elems() // max(1, n_k * max(ra, rb, 1)),
+            _streamed_block_elems() // per_elem,
         ),
     )
     nblk = -(-n_out // B)

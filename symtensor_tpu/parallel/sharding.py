@@ -154,10 +154,10 @@ def shard_group_views(
     from ..kernels.poly_eval import (
         _grouped_static,
         _is_transposed,
-        group_views,
+        group_views_premul,
     )
 
-    views = group_views(A)
+    views = group_views_premul(A)
     Ps, Ts, _, _ = _grouped_static(A.rank, A.dim)
     ntp = mesh.shape[tp_axis]
     out = []
@@ -196,7 +196,7 @@ def poly_eval_batched_sharded_grouped(
     Pass precomputed `views` (from shard_group_views) to amortize placement
     across calls.  Returns (B,), sharded over dp.
     """
-    from ..kernels.poly_eval import _views_eval_batched_jitted
+    from ..kernels.poly_eval import _views_eval_batched_premul_jitted
 
     r, d = A.rank, A.dim
     xs = jnp.asarray(xs)
@@ -213,7 +213,7 @@ def poly_eval_batched_sharded_grouped(
     if views is None:
         views = shard_group_views(A, mesh, tp_axis)
     xs = jax.device_put(xs, NamedSharding(mesh, P(dp_axis, None)))
-    out = _views_eval_batched_jitted(r, d)(views, xs)
+    out = _views_eval_batched_premul_jitted(r, d)(views, xs)
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P(dp_axis))
     )
