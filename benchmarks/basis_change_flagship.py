@@ -70,7 +70,10 @@ def main():
 
     kw = dict(
         store_dtype=jnp.bfloat16,
-        block_elems=500_000_000,
+        # half of this goes to level-1 rows: R[1] ≈ elems/2/n_{r-1} sets
+        # the number of full root gather passes (~8 at rank-6 dim-100);
+        # bf16 block residency ≈ 5 GB against A+C = 6.4 GB on 16 GB HBM
+        block_elems=2_500_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or

@@ -57,9 +57,13 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # 1. gather_mm correctness on hardware
+    # 1. gather_mm correctness on hardware (incl. the lifted 32K source cap)
     ok = True
-    for (n_a, n_b, S, n_out) in [(21, 21, 6, 126), (300, 300, 20, 5000)]:
+    for (n_a, n_b, S, n_out) in [
+        (21, 21, 6, 126),
+        (300, 300, 20, 5000),
+        (20000, 30000, 6, 8000),
+    ]:
         a = jnp.asarray(rng.normal(size=n_a), jnp.float32)
         b = jnp.asarray(rng.normal(size=n_b), jnp.float32)
         ia = jnp.asarray(rng.integers(0, n_a, (S, n_out)), jnp.int32)

@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 _BM = 128  # output elements per block
-_MAX_SRC = 8192  # per-table entry cap for the one-hot trick
+# Per-table entry cap: one-hot selection costs ~n_src MXU MACs per gathered
+# element (the (H, BM) hi-matmul), so the crossover against XLA's ~7.7 ns
+# scalar gathers sits near n_src ≈ 1e5 at HIGHEST-precision f32 MXU rate;
+# 32768 (VMEM: 128 KB source + 128 KB one-hot per operand) keeps a ≥3×
+# margin while covering rank-3 tables up to dim ≈ 56.
+_MAX_SRC = 32768
 _MAX_ROWS = 4096  # cap on gather rows per output element
 
 

@@ -72,20 +72,28 @@ def _fence_every() -> int:
 def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                  store_dt, acc_dt, onthefly, mesh_axis=None):
     """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children,
-    flattened (nsel_pad·n_k,).  Blocks travel as 1-D buffers so the root can
-    be the tensor's own packed leaf with no reshape copy (a 2-D eager
+    flattened (n_k·nsel_pad,).  Blocks travel as 1-D buffers so the root
+    can be the tensor's own packed leaf with no reshape copy (a 2-D eager
     reshape of the 3.2 GB flagship leaf doubled residency); the 2-D views
-    exist only inside the jit, where reshapes are free.  `seg` tiles the n_k
-    axis so the gather transient stays bounded.  With `onthefly` the insert
-    positions are computed from the level-k representative table by the
-    closed-form gflat ranking instead of a materialized (n_k, d) gather map
-    (which would be 9.2e9 int32 at rank-6 dim-100)."""
+    exist only inside the jit, where reshapes are free.  `seg` tiles the
+    n_k axis so the gather transient stays bounded.  With `onthefly` the
+    insert positions are computed from the level-k representative table by
+    the closed-form gflat ranking instead of a materialized (n_k, d)
+    gather map (which would be 9.2e9 int32 at rank-6 dim-100).
+
+    Layout: blocks are TRANSPOSED, (width, npar) with the gathered
+    original-multiset axis LEADING — `rows[sl]` is then a contiguous
+    row-gather (DMA rate), where the (npar, width) orientation made it a
+    lane gather at the TPU's ~130M-elements/s scalar rate, which dominated
+    the whole basis change (measured rank-5 dim-100: 370 s ≈ the scalar
+    cost of its 6.3e9 gathered elements).  Children come out of the
+    segment stack in the same transposed orientation for free."""
     t_kp1 = tables(k + 1, d)
     if mesh_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         mesh, axis = mesh_axis
-        col_sharded = NamedSharding(mesh, PartitionSpec(None, axis))
+        col_sharded = NamedSharding(mesh, PartitionSpec(axis, None))
         repl = NamedSharding(mesh, PartitionSpec())
 
     nseg = -(-n_k // seg)
@@ -97,12 +105,11 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
 
     def kern(rows_pieces, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
         if not multi:
-            rows = rows_pieces[0].reshape(npar, width_par)
+            rows = rows_pieces[0].reshape(width_par, npar)
             if mesh_axis is not None:
                 # parents replicated (one all-gather per block when the
-                # caller hands in a column-sharded previous level);
-                # children column-sharded — each device computes its n_k
-                # slice locally.
+                # caller hands in a row-sharded previous level); children
+                # sharded over n_k — each device computes its slice locally.
                 rows = jax.lax.with_sharding_constraint(rows, repl)
         Wc = jax.lax.dynamic_slice(
             Wm, (0, b_lo), (Wm.shape[0], w_pad)
@@ -160,20 +167,22 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                         jnp.zeros((), acc_dt),
                     )
                     off += L
-                G = acc[None]  # (1, seg, d)
+                G = acc[:, :, None]  # (seg, d, 1)
             else:
-                G = rows[:, sl].astype(acc_dt)  # (npar, seg, d)
-            H = jnp.einsum(
-                "pji,ib->pjb", G, Wc, preferred_element_type=acc_dt
-            )
-            return H[sel_par, :, sel_b].astype(store_dt)  # (nsel_pad, seg)
+                G = rows[sl].astype(acc_dt)  # (seg, d, npar) row gathers
+            H = jax.lax.dot_general(
+                G, Wc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+            )  # (seg, npar, wp)
+            return H[:, sel_par, sel_b].astype(store_dt)  # (seg, nsel_pad)
 
         if nseg == 1:
-            out = seg_body(tbl[0])
+            out = seg_body(tbl[0])[:n_k]
         else:
             # one traced segment body → small program, bounded temps
-            out = jax.lax.map(seg_body, tbl)  # (nseg, nsel_pad, seg)
-            out = out.transpose(1, 0, 2).reshape(-1, n_k_pad)[:, :n_k]
+            out = jax.lax.map(seg_body, tbl)  # (nseg, seg, nsel_pad)
+            out = out.reshape(n_k_pad, nsel_pad)[:n_k]
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
         return out.reshape(-1)
@@ -211,14 +220,23 @@ class _Block:
 
 
 def _row_budgets(r, d_out, widths, total_elems):
-    """Rows per level: share the element budget with more weight on early
-    (wide) levels; clamp to the level's total row count."""
-    wts = np.array([r - t + 1 for t in range(1, r + 1)], dtype=np.float64)
-    shares = total_elems * wts / wts.sum()
+    """Rows per level: half the element budget goes to level 1 — its width
+    n_{r-1} dwarfs every other level, and each level-1 chunk costs a FULL
+    gather pass over the root tensor, so R[1] directly divides the number
+    of root re-passes (the dominant cost at flagship size: R[1] = 1 under
+    the old proportional shares meant d_out = 100 passes over 9.2e9
+    gathered elements).  Deeper levels split the rest evenly; widths fall
+    ~d/t-fold per level so they stay chunk-light."""
     R = [None]
     for t in range(1, r + 1):
+        if r == 1:
+            share = total_elems
+        elif t == 1:
+            share = total_elems / 2
+        else:
+            share = total_elems / 2 / (r - 1)
         cap = comb.multiset_count(d_out, t)
-        R.append(int(min(cap, max(1, shares[t - 1] // widths[t]))))
+        R.append(int(min(cap, max(1, share // widths[t]))))
     R[r] = min(R[r], 2**24)  # leaf rows are scatter-op sized, not memory
     return R
 

@@ -229,7 +229,11 @@ def _tensordot_tables(ra: int, rb: int, k: int, dim: int):
 def _streamed_block_elems() -> int:
     import os
 
-    return int(os.environ.get("SYMTENSOR_STREAM_BLOCK_ELEMS", 2**26))
+    # Default proven on hardware: the d=100 streamed body runs at 2**22
+    # but the TPU worker crashes with the per-step shapes a 2**26 budget
+    # produces (kernel fault, dtype-independent — see
+    # benchmarks/stream_probe_tpu.py).
+    return int(os.environ.get("SYMTENSOR_STREAM_BLOCK_ELEMS", 2**22))
 
 
 def _table_guard_limit() -> int:
