@@ -96,6 +96,21 @@ def main():
     out["grouped_ms"] = round(t_grp * 1e3, 3)
     out["speedup_vs_grouped"] = round(t_grp / t_cell, 2)
 
+    # premultiplied grouped views (the production non-cell route)
+    from symtensor_tpu.kernels.poly_eval import (
+        group_views_premul,
+        _views_eval_batched_premul_jitted,
+    )
+
+    pviews = group_views_premul(A)
+    premul = _views_eval_batched_premul_jitted(rank, dim)
+    gp = np.asarray(premul(pviews, xs[:8]))
+    out["premul_vs_grouped_relerr"] = float(
+        np.max(np.abs(gp - ref)) / np.max(np.abs(ref))
+    )
+    t_pre = dev_time(lambda: premul(pviews, xs))
+    out["grouped_premul_ms"] = round(t_pre * 1e3, 3)
+
     # bf16 storage variant
     A16 = st.FlatSymmetricTensor._raw(rank, dim, A.data.astype(jnp.bfloat16))
     got16 = np.asarray(poly_eval_cell_batched(A16, xs[:8]))
@@ -103,6 +118,10 @@ def main():
     t16 = dev_time(lambda: poly_eval_cell_batched(A16, xs))
     out["cell_bf16_ms"] = round(t16 * 1e3, 3)
     out["cell_bf16_tflops"] = round(flops / t16 / 1e12, 2)
+
+    pviews16 = group_views_premul(A16)
+    t_pre16 = dev_time(lambda: premul(pviews16, xs))
+    out["grouped_premul_bf16_ms"] = round(t_pre16 * 1e3, 3)
 
     print(json.dumps(out))
 

@@ -84,7 +84,7 @@ def main():
     t0 = time.time()
     float(jnp.sum(f(A, B)))
     out["compile_s"] = round(time.time() - t0, 1)
-    out["tensordot_r3r3_d100_ms"] = round(dev_time(lambda: f(A, B)) * 1e3, 1)
+    out[f"tensordot_r3r3_d{d}_ms"] = round(dev_time(lambda: f(A, B)) * 1e3, 1)
     out["n_out"] = st.utils.indep_size(4, d)
 
     print(json.dumps(out))
