@@ -30,9 +30,9 @@ def main():
     L = 804_672_050  # one flagship root piece (bf16 elements)
 
     key = jax.random.PRNGKey(0)
-    gen = jax.jit(lambda k_, n: jax.random.normal(k_, (n,), jnp.bfloat16))
-    p1 = gen(key, L)
-    p2 = gen(jax.random.PRNGKey(1), L)
+    gen = jax.jit(lambda k_: jax.random.normal(k_, (L,), jnp.bfloat16))
+    p1 = gen(key)
+    p2 = gen(jax.random.PRNGKey(1))
     float(jnp.sum(p1[:8]).astype(jnp.float32))
     print("pieces materialized", flush=True)
 

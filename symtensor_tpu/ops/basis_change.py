@@ -81,19 +81,24 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     the closed-form gflat ranking instead of a materialized (n_k, d)
     gather map (which would be 9.2e9 int32 at rank-6 dim-100).
 
-    Layout: blocks are TRANSPOSED, (width, npar) with the gathered
-    original-multiset axis LEADING — `rows[sl]` is then a contiguous
-    row-gather (DMA rate), where the (npar, width) orientation made it a
-    lane gather at the TPU's ~130M-elements/s scalar rate, which dominated
-    the whole basis change (measured rank-5 dim-100: 370 s ≈ the scalar
-    cost of its 6.3e9 gathered elements).  Children come out of the
-    segment stack in the same transposed orientation for free."""
+    Layout: blocks are TRANSPOSED, (width, npar) row-major with the
+    gathered original-multiset axis LEADING — parent access is then a
+    contiguous row-gather (DMA rate), where the (npar, width) orientation
+    made it a lane gather at the TPU's ~130M-elements/s scalar rate, which
+    dominated the whole basis change (measured rank-5 dim-100: 370 s ≈ the
+    scalar cost of its 6.3e9 gathered elements).  Critically the blocks
+    NEVER exist as 2-D arrays: npar is small (13 at flagship level 1) and
+    a (width, npar) device array lane-pads npar to 128 — the compiler
+    reported a 23.5 GB materialization of the 2.4 GB level-1 block.  The
+    kernel instead gathers rows straight out of the flat 1-D buffer with
+    lax.gather slice_sizes=(npar,), and children leave the segment stack
+    as flat (seg·nsel) chunks in the same row-major order."""
     t_kp1 = tables(k + 1, d)
     if mesh_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         mesh, axis = mesh_axis
-        col_sharded = NamedSharding(mesh, PartitionSpec(axis, None))
+        col_sharded = NamedSharding(mesh, PartitionSpec(axis))
         repl = NamedSharding(mesh, PartitionSpec())
 
     nseg = -(-n_k // seg)
@@ -105,12 +110,12 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
 
     def kern(rows_pieces, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
         if not multi:
-            rows = rows_pieces[0].reshape(width_par, npar)
+            rows_flat = rows_pieces[0]  # 1-D, (width_par·npar,) row-major
             if mesh_axis is not None:
                 # parents replicated (one all-gather per block when the
-                # caller hands in a row-sharded previous level); children
-                # sharded over n_k — each device computes its slice locally.
-                rows = jax.lax.with_sharding_constraint(rows, repl)
+                # caller hands in a sharded previous level); children
+                # sharded — each device computes its slice locally.
+                rows_flat = jax.lax.with_sharding_constraint(rows_flat, repl)
         Wc = jax.lax.dynamic_slice(
             Wm, (0, b_lo), (Wm.shape[0], w_pad)
         )
@@ -153,11 +158,12 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 sl = t_kp1.position_jnp_T(full_T)  # (seg, d)
             else:
                 sl = tseg  # (seg, d)
-            if multi:
-                # masked multi-piece gather (npar == 1 on this path)
+            if multi or npar == 1:
+                # masked multi-piece / scalar gather (npar == 1: the root)
+                pieces = rows_pieces if multi else (rows_flat,)
                 acc = jnp.zeros(sl.shape, acc_dt)
                 off = 0
-                for piece in rows_pieces:
+                for piece in pieces:
                     L = piece.shape[0]
                     loc = sl - off
                     m = (loc >= 0) & (loc < L)
@@ -167,25 +173,41 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                         jnp.zeros((), acc_dt),
                     )
                     off += L
-                G = acc[:, :, None]  # (seg, d, 1)
+                G = acc[None, :, :]  # (1, seg, d)
             else:
-                G = rows[sl].astype(acc_dt)  # (seg, d, npar) row gathers
+                # row gathers straight off the flat buffer: slice_sizes
+                # pulls each length-npar row contiguously (DMA), and the
+                # (npar, M) output keeps npar on SUBLANES (pad ≤ 16) —
+                # never a 128-lane-padded (width, npar) materialization
+                starts = (sl.reshape(-1) * npar)[:, None]  # (seg·d, 1)
+                G = jax.lax.gather(
+                    rows_flat,
+                    starts,
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(0,),
+                        collapsed_slice_dims=(),
+                        start_index_map=(0,),
+                    ),
+                    slice_sizes=(npar,),
+                ).astype(acc_dt)  # (npar, seg·d)
+                G = G.reshape(npar, seg, d)
             H = jax.lax.dot_general(
                 G, Wc,
-                (((1,), (0,)), ((), ())),
+                (((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dt,
-            )  # (seg, npar, wp)
-            return H[:, sel_par, sel_b].astype(store_dt)  # (seg, nsel_pad)
+            )  # (npar, seg, wp)
+            sel = H[sel_par, :, sel_b]  # (nsel_pad, seg)
+            return sel.T.astype(store_dt).reshape(-1)  # (seg·nsel_pad,)
 
         if nseg == 1:
-            out = seg_body(tbl[0])[:n_k]
+            out = seg_body(tbl[0])
         else:
             # one traced segment body → small program, bounded temps
-            out = jax.lax.map(seg_body, tbl)  # (nseg, seg, nsel_pad)
-            out = out.reshape(n_k_pad, nsel_pad)[:n_k]
+            out = jax.lax.map(seg_body, tbl)  # (nseg, seg·nsel_pad)
+        out = out.reshape(-1)[: n_k * nsel_pad]
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
-        return out.reshape(-1)
+        return out
 
     return jax.jit(kern)
 
@@ -433,10 +455,12 @@ def basis_change_packed(
         Rc = R[child_level]
         wp = w_pad[child_level]
         tbl_arg, onthefly = insert_map(k)
-        # per-segment-element transient cost: the (npar, seg, d) gather and
-        # (npar, seg, w) product, plus — on the on-the-fly path — the
-        # (seg, d, k+1) index construction with its sort double-buffers
-        cost = npar_pad * (d + wp)
+        # per-segment-element transient cost: the (npar, seg, d) gather,
+        # the (npar, seg, wp) product with wp lane-padded to 128, the
+        # (seg, nsel_pad) lane-padded child staging, plus — on the
+        # on-the-fly path — the (seg, d, k+1) index construction with its
+        # sort double-buffers
+        cost = npar_pad * (d + max(wp, 128)) + 2 * max(Rc, 128)
         if onthefly:
             cost += d * (k + 1) * 6
         seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
