@@ -25,6 +25,7 @@ Pallas variant exists for fusing the per-group loop (see pallas_poly.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 import jax
@@ -470,15 +471,26 @@ def _views_eval_batched_jitted(rank: int, dim: int):
 
 
 def poly_eval_flat_batched_fast(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
-    """Eager batched entry point. Routes to the cell-major prefix-GEMM
-    kernel (kernels/cell_gemm.py) when the level-(r-2) monomial table is
-    modest — big-K GEMMs, no (B, ΣT_j) triangle intermediate — and to the
-    grouped-views path otherwise. Use inside jit → poly_eval_flat_batched."""
+    """Eager batched entry point over cached per-group views.
+
+    Routing is by on-chip measurement (rank-4 dim-100, B=1024, v5e):
+    plain grouped views 1.016 ms (f32), premultiplied views 0.882 ms at
+    bf16 storage but 1.458 ms at f32, and the cell-major prefix-GEMM
+    kernel 1.454 ms bf16 / 44.7 ms f32 (its big-K GEMMs don't pay for the
+    (B, N_{r-2}) weight-table traffic on real hardware; CPU measurements
+    said otherwise).  So: premul views for bf16 storage, plain views
+    otherwise; the cell kernel is opt-in via SYMTENSOR_BATCHED_CELL=1.
+    Use inside jit → poly_eval_flat_batched (no view caching on tracers).
+    """
     if A.rank < 3:
         return poly_eval_flat_batched(A, xs)
-    from .cell_gemm import cell_eligible, poly_eval_cell_batched
+    if os.environ.get("SYMTENSOR_BATCHED_CELL") == "1":
+        from .cell_gemm import cell_eligible, poly_eval_cell_batched
 
-    if cell_eligible(A.rank, A.dim):
-        return poly_eval_cell_batched(A, xs)
-    views = group_views_premul(A)
-    return _views_eval_batched_premul_jitted(A.rank, A.dim)(views, xs)
+        if cell_eligible(A.rank, A.dim):
+            return poly_eval_cell_batched(A, xs)
+    if jnp.dtype(A.dtype) == jnp.bfloat16:
+        views = group_views_premul(A)
+        return _views_eval_batched_premul_jitted(A.rank, A.dim)(views, xs)
+    views = group_views(A)
+    return _views_eval_batched_jitted(A.rank, A.dim)(views, xs)

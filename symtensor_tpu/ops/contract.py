@@ -216,16 +216,19 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
             f"xs second axis {xs.shape[1]} must equal dim {A.dim}"
         )
     if A.format == "flat":
-        # cell-major prefix GEMMs when eligible (rank ≥ 3, moderate
-        # level-(r-2) table): no (B, ΣT_j) triangle intermediate, big-K
-        # MXU GEMMs. Otherwise the grouped barrier-copy path (which beat
-        # the 100-leaf views-tuple dispatch at rank-4 dim-100, measured).
-        from ..kernels.cell_gemm import cell_eligible, poly_eval_cell_batched
-        from ..kernels.poly_eval import poly_eval_flat_batched
+        # Concrete tensors: cached-views grouped GEMMs (fastest measured
+        # on TPU at the C5 config; poly_eval_flat_batched_fast docstring
+        # has the routing numbers). Traced tensors (this op under the
+        # caller's jit): the barrier-copy path — views can't be cached on
+        # tracers.
+        from ..kernels.poly_eval import (
+            poly_eval_flat_batched,
+            poly_eval_flat_batched_fast,
+        )
 
-        if A.rank >= 3 and cell_eligible(A.rank, A.dim):
-            return poly_eval_cell_batched(A, xs)
-        return poly_eval_flat_batched(A, xs)
+        if isinstance(A.data, jax.core.Tracer):
+            return poly_eval_flat_batched(A, xs)
+        return poly_eval_flat_batched_fast(A, xs)
     if A.format == "decomp":
         import string
 
