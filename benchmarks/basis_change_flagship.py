@@ -85,13 +85,18 @@ def main():
     C = basis_change_packed(A, W, **kw)
     fence(C.data[:1])
     t_first = time.time() - t0
+    t_warm = t_first
     print(f"basis change pass 1 (incl. compile): {t_first:.1f}s", flush=True)
 
-    t0 = time.time()
-    C = basis_change_packed(A, W, **kw)
-    fence(C.data[:1])
-    t_warm = time.time() - t0
-    print(f"basis change pass 2 (warm): {t_warm:.1f}s", flush=True)
+    # pass 2 isolates compile time but doubles chip time — skippable for
+    # the multi-hour flagship size (SYMTENSOR_FLAGSHIP_PASSES=1)
+    import os
+    if int(os.environ.get("SYMTENSOR_FLAGSHIP_PASSES", "2")) >= 2:
+        t0 = time.time()
+        C = basis_change_packed(A, W, **kw)
+        fence(C.data[:1])
+        t_warm = time.time() - t0
+        print(f"basis change pass 2 (warm): {t_warm:.1f}s", flush=True)
 
     # on-chip correctness identity: C·x^r == A·(Wx)^r
     x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)

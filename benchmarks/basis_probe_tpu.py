@@ -45,10 +45,10 @@ def main():
         )
     )
 
-    def body(sl):
+    def body(sl, pieces):
         acc = jnp.zeros(sl.shape, jnp.float32)
         off = 0
-        for piece in (p1, p2):
+        for piece in pieces:
             Lp = piece.shape[0]
             loc = sl - off
             m = (loc >= 0) & (loc < Lp)
@@ -60,7 +60,10 @@ def main():
             off += Lp
         return jnp.sum(acc.reshape(seg, d), axis=0)
 
-    out = jax.jit(lambda ix: jnp.sum(jax.lax.map(body, ix)))(idx)
+    # pieces passed as args: a closure would bake 3.2 GB into the jaxpr
+    out = jax.jit(
+        lambda ix, ps: jnp.sum(jax.lax.map(lambda s_: body(s_, ps), ix))
+    )(idx, (p1, p2))
     print("1. masked 2-piece gather ok:", float(out), flush=True)
 
     # 2. full-width int8 table reshape + per-step slicing
@@ -87,7 +90,7 @@ def main():
     tbl3 = jnp.asarray(rep5)
     W = jax.random.normal(jax.random.PRNGKey(2), (d, 4), jnp.float32)
 
-    def body3(tseg):
+    def body3(tseg, pieces):
         rep_T = tseg.reshape(seg, k).astype(jnp.int32).T
         full_T = jnp.concatenate(
             [
@@ -103,7 +106,7 @@ def main():
         sl = t6.position_jnp_T(full_T)  # (seg, d)
         acc = jnp.zeros(sl.shape, jnp.float32)
         off = 0
-        for piece in (p1, p2):
+        for piece in pieces:
             Lp = piece.shape[0]
             loc = sl - off
             m = (loc >= 0) & (loc < Lp)
@@ -122,8 +125,12 @@ def main():
         return H[:, 0, :]
 
     out3 = jax.jit(
-        lambda t: jnp.sum(jax.lax.map(body3, t.reshape(steps, seg * k)))
-    )(tbl3)
+        lambda t, ps: jnp.sum(
+            jax.lax.map(
+                lambda s_: body3(s_, ps), t.reshape(steps, seg * k)
+            )
+        )
+    )(tbl3, (p1, p2))
     print("3. full level-0 step ok:", float(out3), flush=True)
 
 

@@ -407,11 +407,23 @@ def basis_change_packed(
             # tunnel (CLAUDE.md); forcing the newest emit drains the whole
             # dependency chain behind it.
             stats["emits"] = stats.get("emits", 0) + 1
-            if (
+            fenced = (
                 not isinstance(out_buf, jax.core.Tracer)
                 and stats["emits"] % _fence_every() == 0
-            ):
+            )
+            if fenced:
                 float(out_buf[-1])
+            if verbose and fenced:
+                import sys
+                import time as _time
+
+                print(
+                    f"[basis {_time.time()-stats['t0']:8.1f}s]   leaf emit "
+                    f"#{stats['emits']} nsel={nsel} npar={blk.nrows} "
+                    f"b_lo={b_lo}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             return
         # optional per-chunk fence (diagnoses tunnel-side buffer pileup)
         if not isinstance(child_U, jax.core.Tracer) and _fence_every() == 1:
