@@ -46,10 +46,14 @@ def main():
     )
     out = {"dim": dim}
 
+    # NOTE: the op is measured EAGERLY (its internals jit themselves).
+    # Wrapping the whole op in jax.jit bakes the (n_sub, n_out) subset
+    # tables into the program as constants — 260 MB of MLIR at dim 30,
+    # which the remote compile helper kills (and which the library now
+    # routes to the streamed path instead).
+
     # 1. production routing (gather_mm when usable)
-    f_prod = jax.jit(
-        lambda a, b: outer_mod.symmetric_outer(a, b, stream=False).data
-    )
+    f_prod = lambda a, b: outer_mod.symmetric_outer(a, b, stream=False).data
     t, floor = dev_time(lambda: f_prod(A, B))
     out["floor_ms"] = round(floor * 1e3, 1)
     out["mxu_gather_ms"] = round(t * 1e3, 1)
@@ -58,23 +62,24 @@ def main():
     import symtensor_tpu.kernels.gather_mm as gm
     saved = gm._MAX_SRC
     gm._MAX_SRC = 0
-    f_xla = jax.jit(
-        lambda a, b: outer_mod.symmetric_outer(a, b, stream=False).data
-    )
+    f_xla = lambda a, b: outer_mod.symmetric_outer(a, b, stream=False).data
     t, _ = dev_time(lambda: f_xla(A, B))
     out["xla_gather_ms"] = round(t * 1e3, 1)
+    vb = np.asarray(f_xla(A, B), np.float64)  # while the cap is still 0
     gm._MAX_SRC = saved
 
-    # 3. streaming blocked path
-    f_str = jax.jit(
-        lambda a, b: outer_mod.symmetric_outer(a, b, stream=True).data
-    )
+    # 3. streaming blocked path (also what a caller's jit now traces)
+    f_str = lambda a, b: outer_mod.symmetric_outer(a, b, stream=True).data
     t, _ = dev_time(lambda: f_str(A, B))
     out["stream_ms"] = round(t * 1e3, 1)
 
+    # 4. traced whole-op (user jit) — should route to stream now
+    f_jit = jax.jit(lambda a, b: outer_mod.symmetric_outer(a, b).data)
+    t, _ = dev_time(lambda: f_jit(A, B))
+    out["traced_op_ms"] = round(t * 1e3, 1)
+
     # agreement
     va = np.asarray(f_prod(A, B), np.float64)
-    vb = np.asarray(f_xla(A, B), np.float64)
     vc = np.asarray(f_str(A, B), np.float64)
     out["mxu_vs_xla_relerr"] = float(
         np.max(np.abs(va - vb)) / np.max(np.abs(vb))

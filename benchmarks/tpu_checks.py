@@ -100,9 +100,13 @@ def main():
     key = jax.random.PRNGKey(0)
     Af = st.FlatSymmetricTensor._raw(r, d, jax.random.normal(key, (n,), jnp.float32))
     Bf = st.FlatSymmetricTensor._raw(r, d, jax.random.normal(key, (n,), jnp.float32))
-    f_outer = jax.jit(lambda a, b: symalg.multiply.outer(a, b).data)
+    # eager: jitting the whole op would bake the subset tables into the
+    # program as constants (130 MB each at this size) — and would measure
+    # the streamed route the library now picks under tracing, not the
+    # production eager kernels
+    f_outer = lambda a, b: symalg.multiply.outer(a, b).data
     out["outer_r3r3_d30_ms"] = round(dev_time(lambda: f_outer(Af, Bf)) * 1e3, 1)
-    f_td = jax.jit(lambda a, b: symalg.tensordot(a, b, axes=1).data)
+    f_td = lambda a, b: symalg.tensordot(a, b, axes=1).data
     out["tensordot_ax1_ms"] = round(dev_time(lambda: f_td(Af, Bf)) * 1e3, 1)
 
     print(json.dumps(out))

@@ -135,9 +135,14 @@ def symmetric_outer(a, b, fn: str = "multiply", stream: bool = None):
     r = ra + rb
 
     if stream is None:
-        stream = (
-            2 * comb.binom(r, ra) * comb.indep_size(r, dim)
-            > _table_guard_limit()
+        entries = 2 * comb.binom(r, ra) * comb.indep_size(r, dim)
+        stream = entries > _table_guard_limit() or (
+            # under a caller's jit, gather tables would be baked into the
+            # traced program as constants (measured 260 MB MLIR at
+            # rank-3×rank-3 dim-30 — the compile helper kills it); the
+            # streamed kernel ranks positions in-kernel instead
+            entries > _TRACED_TABLE_LIMIT
+            and isinstance(af.data, jax.core.Tracer)
         )
     if stream:
         if fn != "multiply":
@@ -218,10 +223,12 @@ def _tensordot_tables(ra: int, rb: int, k: int, dim: int):
             )
             A_tab[si, ci] = _position_rows(t_a, full_a)
             B_tab[si, ci] = _position_rows(t_b, full_b)
+    with jax.ensure_compile_time_eval():  # memoized: never trace-bound
+        gam_dev = jnp.asarray(gam.astype(np.float32))
     return (
         _i32(A_tab),
         _i32(B_tab),
-        jnp.asarray(gam.astype(np.float32)),
+        gam_dev,
         len(subsets),
     )
 
@@ -234,6 +241,11 @@ def _streamed_block_elems() -> int:
     # produces (kernel fault, dtype-independent — see
     # benchmarks/stream_probe_tpu.py).
     return int(os.environ.get("SYMTENSOR_STREAM_BLOCK_ELEMS", 2**22))
+
+
+# Max gather-table entries tolerated as constants inside a TRACED program
+# (each entry is an int32 in the MLIR: 2e6 ≈ 8 MB per table).
+_TRACED_TABLE_LIMIT = 2_000_000
 
 
 def _table_guard_limit() -> int:
@@ -414,7 +426,13 @@ def tensordot(a, b, axes=1, stream: bool = None):
         n_out_sz = comb.indep_size(r_out, dim)
         n_k_sz = comb.indep_size(k, dim)
         n_sub_sz = comb.binom(r_out, ra - k)
-        stream = 2 * n_sub_sz * n_k_sz * n_out_sz > _table_guard_limit()
+        entries = 2 * n_sub_sz * n_k_sz * n_out_sz
+        stream = entries > _table_guard_limit() or (
+            # see symmetric_outer: avoid baking huge gather tables into a
+            # caller's traced program
+            entries > _TRACED_TABLE_LIMIT
+            and isinstance(af.data, jax.core.Tracer)
+        )
     if stream:
         acc = _combine_streamed(af, bf, k)
         if r_out == 0:

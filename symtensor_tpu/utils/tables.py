@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Tuple
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -35,7 +36,11 @@ def _i32(x: np.ndarray) -> jnp.ndarray:
     assert np.all(x >= 0)
     if x.size and int(x.max()) >= 2**31:
         raise OverflowError("index table exceeds int32 range")
-    return jnp.asarray(x.astype(np.int32))
+    # Tables are memoized across calls; if the first build happens inside a
+    # trace, a trace-bound constant would be cached and leak into later
+    # traces (UnexpectedTracerError). Force an eager device array.
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(x.astype(np.int32))
 
 
 class Tables:
