@@ -1,0 +1,187 @@
+"""Attribute basis-change time: run ONE step kernel per level at exact
+rank-5 dim-100 flagship shapes, isolated, on the real TPU.
+
+The flagship rank-5 pass measures 229.5 s but a slice-issue-rate model
+predicts ~6 s, so something else dominates (in-kernel ranking sort,
+Pascal-table gathers, select, lax.map overhead, …).  This times the real
+`_step_kernel` per level plus stripped variants of its stages.
+
+Usage:  python benchmarks/basis_kernel_probe.py [rank dim]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from symtensor_tpu.config import config
+    from symtensor_tpu.ops import basis_change as bc
+    from symtensor_tpu.utils import combinatorics as comb
+    from symtensor_tpu.utils.tables import tables
+
+    rank = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    config.max_table_entries = 3_000_000_000
+    out = {"rank": rank, "dim": d, "device": str(jax.devices()[0])}
+
+    store_dt, acc_dt = "bfloat16", "float32"
+    block_elems = 2_500_000_000
+    transient_elems = 50_000_000
+    onthefly_above = 250_000_000
+
+    widths = [comb.indep_size(rank - t, d) for t in range(rank + 1)]
+    R = bc._row_budgets(rank, d, widths, block_elems)
+    w_pad = [None] * (rank + 1)
+    prevR = 1
+    for t in range(1, rank + 1):
+        w_pad[t] = int(min(d, max(4, -(-2 * R[t] // prevR))))
+        prevR = R[t]
+    out["R"] = R[1:]
+    out["w_pad"] = w_pad[1:]
+
+    Wdev = jax.random.normal(
+        jax.random.PRNGKey(2), (d, d + max(w_pad[1:])), jnp.float32
+    )
+
+    def fence(x):
+        return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
+
+    def timeit(fn, k=3):
+        fn()
+        r0 = fn()
+        fence(r0)
+        t0 = time.time()
+        acc = None
+        for _ in range(k):
+            r = fn()
+        fence(r)
+        return (time.time() - t0) / k
+
+    for t in range(0, rank):
+        k = rank - t - 1
+        n_k = comb.indep_size(k, d)
+        npar = R[t] if t > 0 else 1
+        wp = w_pad[t + 1]
+        Rc = R[t + 1]
+        fly = n_k * d > onthefly_above
+        # transient cost model mirrors basis_change_packed
+        cost = npar * (d + max(wp, 128)) + 2 * max(Rc, 128)
+        if fly:
+            cost += d * (k + 1) * 6
+        seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
+        nseg = -(-n_k // seg)
+
+        width_par = widths[t]
+        buf = jax.random.normal(
+            jax.random.PRNGKey(t), (int(npar) * int(width_par),),
+            jnp.bfloat16,
+        )
+        if fly:
+            rep_np = tables(k, d).rep_np()
+            dt = np.int8 if d <= 127 else np.int16
+            tbl_arg = jnp.asarray(rep_np.astype(dt).reshape(-1))
+        else:
+            tbl_arg = tables(rank, d).insert_table(k)
+        nsel = min(Rc, npar * wp)
+        rng = np.random.default_rng(t)
+        sp = jnp.asarray(
+            rng.integers(0, npar, Rc).astype(np.int32)
+        )
+        sb = jnp.asarray(rng.integers(0, wp, Rc).astype(np.int32))
+
+        kern = bc._step_kernel(
+            int(npar), (int(buf.shape[0]),), int(n_k), d, k, wp, Rc,
+            seg, store_dt, acc_dt, fly, None,
+        )
+        tm = timeit(lambda: kern(
+            (buf,), tbl_arg, Wdev, 0, sp, sb
+        ))
+        key = f"L{t}to{t+1}"
+        out[key] = {
+            "n_k": n_k, "npar": int(npar), "seg": seg, "nseg": nseg,
+            "onthefly": fly, "wp": wp, "kern_s": round(tm, 3),
+        }
+
+        # stripped variants at the same shapes (single lax.map program)
+        if fly:
+            t_kp1 = tables(k + 1, d)
+
+            def rank_only(tbl=tbl_arg, seg=seg, nseg=nseg, k=k,
+                          t_kp1=t_kp1):
+                pad = nseg * seg - n_k
+                tb = jnp.concatenate(
+                    [tbl, jnp.zeros((pad * k,), tbl.dtype)]
+                ).reshape(nseg, seg * k)
+
+                def body(tseg):
+                    rep_T = tseg.reshape(seg, k).astype(jnp.int32).T
+                    full_T = jnp.concatenate(
+                        [
+                            jnp.broadcast_to(
+                                rep_T[:, :, None], (k, seg, d)
+                            ),
+                            jnp.broadcast_to(
+                                jnp.arange(d, dtype=jnp.int32)[
+                                    None, None, :
+                                ],
+                                (1, seg, d),
+                            ),
+                        ],
+                        axis=0,
+                    )
+                    full_T = jnp.sort(full_T, axis=0)
+                    sl = t_kp1.position_jnp_T(full_T)
+                    return jnp.sum(sl, axis=1)
+
+                return jax.lax.map(body, tb)
+
+            f = jax.jit(rank_only)
+            out[key]["rank_only_s"] = round(timeit(lambda: f()), 3)
+
+        # gather-only at the same slice shape
+        idx = jnp.asarray(
+            rng.integers(0, width_par, (nseg, seg * d), np.int64).astype(
+                np.int32
+            )
+        )
+
+        def gather_only(buf=buf, idx=idx, npar=int(npar), seg=seg):
+            def body(sl):
+                if npar == 1:
+                    return jnp.sum(
+                        buf[sl].astype(jnp.float32).reshape(seg, d),
+                        axis=1,
+                    )
+                starts = (sl * npar)[:, None]
+                G = jax.lax.gather(
+                    buf,
+                    starts,
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(0,),
+                        collapsed_slice_dims=(),
+                        start_index_map=(0,),
+                    ),
+                    slice_sizes=(npar,),
+                ).astype(jnp.float32)
+                return jnp.sum(G.reshape(npar, seg, d), axis=(0, 2))
+
+            return jax.lax.map(body, idx)
+
+        g = jax.jit(gather_only)
+        out[key]["gather_only_s"] = round(timeit(lambda: g()), 3)
+        print(json.dumps({key: out[key]}), flush=True)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
