@@ -66,6 +66,22 @@ def main():
         fence(r)
         return (time.time() - t0) / k
 
+    # host->device upload rate through the tunnel: run_chunk uploads
+    # sel_par/sel_b (Rc int32 each) and pos_pad (Rc int64) per chunk —
+    # ~270 MB per leaf chunk at flagship sizes if the tunnel is slow,
+    # this dominates everything
+    up = np.arange(16_777_216, dtype=np.int64)  # 134 MB
+    t0 = time.time()
+    dev = jnp.asarray(up)
+    fence(dev[:1])
+    t_up = time.time() - t0
+    t0 = time.time()
+    dev2 = jnp.asarray(up)
+    fence(dev2[:1])
+    out["upload_134MB_s"] = round(time.time() - t0, 3)
+    out["upload_134MB_first_s"] = round(t_up, 3)
+    print(json.dumps({"upload": out["upload_134MB_s"]}), flush=True)
+
     for t in range(0, rank):
         k = rank - t - 1
         n_k = comb.indep_size(k, d)
