@@ -394,9 +394,13 @@ def basis_change_packed(
         )
         if child_level == r:
             pos = layout_out.position_array(child_reps.astype(np.int64))
+            # int32 positions when they fit: the per-emit host→device
+            # upload through the tunnel is a real cost at flagship sizes
+            # (Rc=16.7M ⇒ 134 MB as int64, 67 MB as int32)
+            pdt = np.int32 if n_out < 2**31 - 1 else np.int64
             pos_pad = np.concatenate(
                 [pos, np.full(pad, n_out, np.int64)]
-            )
+            ).astype(pdt)
             out_buf = _emit_kernel(str(store_dt))(
                 out_buf, jnp.asarray(pos_pad), child_U
             )
