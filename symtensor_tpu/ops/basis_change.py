@@ -68,6 +68,55 @@ def _fence_every() -> int:
 # ---------------------------------------------------------------------------
 
 
+def _expand_groups(bs, starts, counts, nsel_pad):
+    """Expand per-b group descriptors into per-slot (parent row, b, valid).
+
+    Children of a chunk are runs of consecutive parent rows, one run per
+    new max element b; `bs`/`starts`/`counts` are (nb_pad,) int32 group
+    descriptors (padded groups have count 0).  Expanding them IN-KERNEL
+    replaces the (nsel_pad,)-sized selector uploads: the axon tunnel
+    moves ~48 MB/s host→device (measured), so two 67 MB selector vectors
+    plus a position vector per leaf chunk (~200 MB) dominated the whole
+    basis change — rank-5 dim-100 spent ~220 of 229.5 s on uploads.
+    """
+    cum = jnp.cumsum(counts)
+    s = jnp.arange(nsel_pad, dtype=jnp.int32)
+    gid = jnp.searchsorted(cum, s, side="right").astype(jnp.int32)
+    gid = jnp.minimum(gid, counts.shape[0] - 1)
+    prev = (cum[gid] - counts[gid]).astype(jnp.int32)
+    par = starts[gid] + (s - prev)
+    return par, bs[gid], s < cum[-1]
+
+
+@lru_cache(maxsize=None)
+def _emit_kernel2(r, d_out, n_out, nsel_pad, store_dt):
+    """Leaf emit with positions computed ON DEVICE from the parent
+    block's representative table (uploaded once per block) — no per-emit
+    position upload."""
+    t_out = tables(r, d_out)
+
+    def kern(out, vals, reps_flat, bs, starts, counts):
+        par, b, valid = _expand_groups(bs, starts, counts, nsel_pad)
+        nrows = reps_flat.shape[0] // (r - 1)
+        par = jnp.minimum(par, nrows - 1)
+        G = jax.lax.gather(
+            reps_flat,
+            (par * (r - 1))[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(0,),
+                collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=(r - 1,),
+        ).astype(jnp.int32)  # (r-1, nsel_pad) ascending rows
+        rep_T = jnp.concatenate([G, b[None, :].astype(jnp.int32)], axis=0)
+        pos = t_out.position_jnp_T(rep_T)
+        pos = jnp.where(valid, pos, n_out)
+        return out.at[pos].set(vals[:nsel_pad].astype(out.dtype))
+
+    return jax.jit(kern, donate_argnums=(0,))
+
+
 @lru_cache(maxsize=None)
 def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                  store_dt, acc_dt, onthefly, mesh_axis=None):
@@ -108,7 +157,12 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     multi = len(piece_lens) > 1  # root leaf split to dodge the ~2 GiB
     # gather-operand limit (oversized gather sources crash the TPU worker)
 
-    def kern(rows_pieces, tbl_or_rep, Wm, b_lo, sel_par, sel_b):
+    def kern(rows_pieces, tbl_or_rep, Wm, b_lo, bs, starts, counts):
+        # per-slot selectors expanded in-kernel from tiny group
+        # descriptors (see _expand_groups: uploads were the bottleneck)
+        sel_par, sel_b_abs, _ = _expand_groups(bs, starts, counts, nsel_pad)
+        sel_par = jnp.minimum(sel_par, npar - 1)
+        sel_b = jnp.clip(sel_b_abs - b_lo, 0, w_pad - 1)
         if not multi:
             rows_flat = rows_pieces[0]  # 1-D, (width_par·npar,) row-major
             if mesh_axis is not None:
@@ -212,14 +266,6 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     return jax.jit(kern)
 
 
-@lru_cache(maxsize=None)
-def _emit_kernel(dt):
-    def kern(out, pos, vals):
-        return out.at[pos].set(vals.astype(out.dtype))
-
-    return jax.jit(kern, donate_argnums=(0,))
-
-
 # ---------------------------------------------------------------------------
 # Host-side blocks and schedule
 # ---------------------------------------------------------------------------
@@ -230,7 +276,8 @@ class _Block:
     (nrows_pad·width,)) + host bookkeeping (max element and representative
     multiset per row, sorted by max)."""
 
-    __slots__ = ("U", "maxels", "reps", "nrows", "npar", "width")
+    __slots__ = ("U", "maxels", "reps", "nrows", "npar", "width",
+                 "reps_dev")
 
     def __init__(self, U, maxels, reps, nrows, npar, width):
         self.U = U  # tuple of 1-D device pieces, total npar·width
@@ -239,6 +286,7 @@ class _Block:
         self.nrows = nrows
         self.npar = npar  # padded row count
         self.width = width
+        self.reps_dev = None  # lazy flat device copy (leaf-parent blocks)
 
 
 def _row_budgets(r, d_out, widths, total_elems):
@@ -374,36 +422,41 @@ def basis_change_packed(
         [W.astype(acc_dt), jnp.zeros((d, wmax), dtype=acc_dt)], axis=1
     )
 
-    def run_chunk(t, blk, kern, tbl_arg, b_lo, sel_par, sel_b, nsel_pad):
+    def _group_descriptors(groups, nb_pad):
+        """Pad (b, start, count) triples to (nb_pad,) int32 device arrays —
+        a ~KB upload replacing the (nsel_pad,) selector/position vectors
+        (~200 MB per leaf chunk at flagship sizes; tunnel ≈ 48 MB/s)."""
+        nb = len(groups)
+        arr = np.zeros((3, nb_pad), np.int32)
+        for i, (b, p0, c) in enumerate(groups):
+            arr[0, i], arr[1, i], arr[2, i] = b, p0, c
+        dev = jnp.asarray(arr)
+        return dev[0], dev[1], dev[2]
+
+    def run_chunk(t, blk, kern, tbl_arg, b_lo, groups, nsel_pad, nb_pad):
         nonlocal out_buf
         stats["chunks"] += 1
         child_level = t + 1
-        nsel = len(sel_par)
-        pad = nsel_pad - nsel
-        sp = np.concatenate(
-            [sel_par, np.zeros(pad, np.int64)]
-        ).astype(np.int32)
-        sb_rel = (
-            np.concatenate([sel_b, np.full(pad, b_lo, np.int64)]) - b_lo
-        ).astype(np.int32)
+        nsel = sum(c for _, _, c in groups)
+        bs_d, st_d, ct_d = _group_descriptors(groups, nb_pad)
         child_U = kern(
-            blk.U, tbl_arg, Wdev, b_lo, jnp.asarray(sp), jnp.asarray(sb_rel)
+            blk.U, tbl_arg, Wdev, b_lo, bs_d, st_d, ct_d
         )  # flattened (nsel_pad · n_k_child,)
-        child_reps = np.concatenate(
-            [blk.reps[sel_par], sel_b[:, None].astype(np.int32)], axis=1
-        )
         if child_level == r:
-            pos = layout_out.position_array(child_reps.astype(np.int64))
-            # int32 positions when they fit: the per-emit host→device
-            # upload through the tunnel is a real cost at flagship sizes
-            # (Rc=16.7M ⇒ 134 MB as int64, 67 MB as int32)
-            pdt = np.int32 if n_out < 2**31 - 1 else np.int64
-            pos_pad = np.concatenate(
-                [pos, np.full(pad, n_out, np.int64)]
-            ).astype(pdt)
-            out_buf = _emit_kernel(str(store_dt))(
-                out_buf, jnp.asarray(pos_pad), child_U
-            )
+            if blk.reps_dev is None:
+                # one upload per leaf-parent block: padded flat rep table
+                # the emit kernel ranks into output positions (narrowest
+                # dtype — the tunnel is the cost)
+                rdt = (
+                    np.int8 if d_out <= 127
+                    else np.int16 if d_out <= 32767 else np.int32
+                )
+                rp = np.zeros((blk.npar, r - 1), rdt)
+                rp[: blk.nrows] = blk.reps
+                blk.reps_dev = jnp.asarray(rp.reshape(-1))
+            out_buf = _emit_kernel2(
+                r, d_out, n_out, nsel_pad, str(store_dt)
+            )(out_buf, child_U, blk.reps_dev, bs_d, st_d, ct_d)
             # Throttle: dispatch is fully asynchronous, so without a fence
             # the host enqueues entire sub-trees and every pending block
             # buffer stays allocated (observed OOM at flagship size).  A
@@ -432,8 +485,18 @@ def basis_change_packed(
         # optional per-chunk fence (diagnoses tunnel-side buffer pileup)
         if not isinstance(child_U, jax.core.Tracer) and _fence_every() == 1:
             float(child_U[0])
+        # host bookkeeping for the child block (cheap; device never sees it)
+        sel_par = np.concatenate(
+            [np.arange(p0, p0 + c, dtype=np.int64) for _, p0, c in groups]
+        )
+        sel_b = np.concatenate(
+            [np.full(c, b, dtype=np.int64) for b, _, c in groups]
+        )
+        child_reps = np.concatenate(
+            [blk.reps[sel_par], sel_b[:, None].astype(np.int32)], axis=1
+        )
         child = _Block(
-            (child_U,), sel_b.astype(np.int64), child_reps, nsel,
+            (child_U,), sel_b, child_reps, nsel,
             nsel_pad, comb.indep_size(r - child_level, d),
         )
         process(child_level, child)
@@ -493,7 +556,7 @@ def basis_change_packed(
         b = int(np.argmax(counts > 0)) if counts[-1] > 0 else d_out
         while b < d_out:
             b_lo = b
-            sel_par, sel_b, nsel = [], [], 0
+            groups, nsel = [], 0
             while b < d_out and (b - b_lo) < wp and nsel < Rc:
                 c = int(counts[b])
                 if c > Rc and nsel == 0:
@@ -503,24 +566,18 @@ def basis_change_packed(
                         p1 = min(p0 + Rc, c)
                         run_chunk(
                             t, blk, kern, tbl_arg, b,
-                            np.arange(p0, p1, dtype=np.int64),
-                            np.full(p1 - p0, b, dtype=np.int64),
-                            Rc,
+                            [(b, p0, p1 - p0)], Rc, wp,
                         )
                     b += 1
                     b_lo = b
                     continue
                 if nsel + c > Rc:
                     break
-                sel_par.append(np.arange(c, dtype=np.int64))
-                sel_b.append(np.full(c, b, dtype=np.int64))
+                groups.append((b, 0, c))
                 nsel += c
                 b += 1
             if nsel:
-                run_chunk(
-                    t, blk, kern, tbl_arg, b_lo,
-                    np.concatenate(sel_par), np.concatenate(sel_b), Rc,
-                )
+                run_chunk(t, blk, kern, tbl_arg, b_lo, groups, Rc, wp)
 
     # Split the root leaf into pieces under the gather-operand byte limit
     # (oversized gather sources crash the TPU worker); a single piece means
