@@ -107,19 +107,22 @@ def main():
             tbl_arg = jnp.asarray(rep_np.astype(dt).reshape(-1))
         else:
             tbl_arg = tables(rank, d).insert_table(k)
-        nsel = min(Rc, npar * wp)
         rng = np.random.default_rng(t)
-        sp = jnp.asarray(
-            rng.integers(0, npar, Rc).astype(np.int32)
-        )
-        sb = jnp.asarray(rng.integers(0, wp, Rc).astype(np.int32))
+        # group descriptors (post-rewrite kernel signature): one run of
+        # parents per b in the window, covering ≤ Rc children
+        nb = max(1, min(wp, Rc // max(1, int(npar))))
+        per = min(int(npar), Rc // nb)
+        desc = np.zeros((3, wp), np.int32)
+        for i in range(nb):
+            desc[0, i], desc[1, i], desc[2, i] = i, 0, per
+        dd = jnp.asarray(desc)
 
         kern = bc._step_kernel(
             int(npar), (int(buf.shape[0]),), int(n_k), d, k, wp, Rc,
             seg, store_dt, acc_dt, fly, None,
         )
         tm = timeit(lambda: kern(
-            (buf,), tbl_arg, Wdev, 0, sp, sb
+            (buf,), tbl_arg, Wdev, 0, dd[0], dd[1], dd[2]
         ))
         key = f"L{t}to{t+1}"
         out[key] = {
