@@ -193,23 +193,12 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
 
         def seg_body(tseg):
             if onthefly:
-                # closed-form insert positions: sort(rep ∪ i), rank —
-                # components stacked on the LEADING axis so the sort and
-                # ranking operate on (seg, d)-tiled planes, not on a
-                # lane-padded (… , k+1) trailing axis
+                # closed-form INSERT ranking: per-rep prefix sums + masked
+                # multiply-add planes (tables.position_insert_jnp_T) —
+                # no (k+1, seg, d) sort stack, no per-element Pascal
+                # gathers
                 rep_T = tseg.reshape(seg, k).astype(jnp.int32).T  # (k, seg)
-                full_T = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(rep_T[:, :, None], (k, seg, d)),
-                        jnp.broadcast_to(
-                            jnp.arange(d, dtype=jnp.int32)[None, None, :],
-                            (1, seg, d),
-                        ),
-                    ],
-                    axis=0,
-                )
-                full_T = jnp.sort(full_T, axis=0)
-                sl = t_kp1.position_jnp_T(full_T)  # (seg, d)
+                sl = t_kp1.position_insert_jnp_T(rep_T)  # (seg, d)
             else:
                 sl = tseg  # (seg, d)
             if multi or npar == 1:
@@ -541,7 +530,8 @@ def basis_change_packed(
         # sort double-buffers
         cost = npar_pad * (d + max(wp, 128)) + 2 * max(Rc, 128)
         if onthefly:
-            cost += d * (k + 1) * 6
+            # insert-ranking planes: cnt compare stack + masked FMA rows
+            cost += d * (k + 2) * 3
         seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
         kern = _step_kernel(
             blk.npar, tuple(int(p.shape[0]) for p in blk.U),

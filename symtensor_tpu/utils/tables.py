@@ -159,6 +159,109 @@ class Tables:
         tri = a * (2 * side - a + 1) // 2 + (b - a)
         return self.group_off[j] + hrank * self.group_T[j] + tri
 
+    def position_insert_jnp_T(self, rep_T: jnp.ndarray) -> jnp.ndarray:
+        """gflat positions of sort(rep ∪ {i}) for every i ∈ [0, d),
+        without sorting or per-element table gathers.
+
+        rep_T: (K−1, seg) int32, columns ascending (K = self.rank ≥ 2).
+        Returns (seg, d) int32.
+
+        Decomposition by the insertion slot cnt = #{rep_s ≤ i}: the
+        merged multiset's head / group element / tail triangle are then
+        known per case, so positions reduce to per-rep prefix sums (a few
+        tiny Pascal gathers of (seg,)) plus ~2K masked multiply-add
+        planes over (seg, d) — all VPU.  The previous on-the-fly path
+        sorted a (K, seg, d) stack and ranked it with K Pascal gathers
+        *per element*, which dominated level-0 basis-change chunks."""
+        K, d = self.rank, self.dim
+        k = K - 1
+        rep = rep_T.astype(jnp.int32)  # (k, seg)
+        seg = rep.shape[1]
+        i_row = jnp.arange(d, dtype=jnp.int32)[None, :]  # (1, d)
+        if K == 1:  # empty rep: the merged multiset is just (i)
+            return jnp.broadcast_to(i_row, (seg, d))
+        # insertion slot per (column, i)
+        cnt = (rep[:, :, None] <= i_row[None, :, :]).sum(0).astype(
+            jnp.int32
+        )  # (seg, d)
+
+        if K == 2:
+            a = jnp.minimum(rep[0][:, None], i_row)
+            b = jnp.maximum(rep[0][:, None], i_row)
+            return a * (2 * d - a + 1) // 2 + (b - a)
+
+        q = K - 3  # head size of the merged multiset
+        pas = self.pascal
+
+        def tri(a, b, g):
+            aa = a - g
+            bb = b - g
+            side = d - g
+            return aa * (2 * side - aa + 1) // 2 + (bb - aa)
+
+        # per-rep head colex terms (slots 1-based; s is 0-based)
+        # P0[s] = C(j_s + s, s+1)  (j_s at slot s+1, unshifted)
+        # S0[s] = C(j_s + s + 1, s+2)  (j_s shifted up one slot)
+        if q > 0:
+            P0 = jnp.stack(
+                [pas[rep[s] + s, s + 1] for s in range(q)]
+            )  # (q, seg)
+            H0 = P0.sum(0)  # plain colex of head j_0..j_{q-1}
+        else:
+            H0 = jnp.zeros((seg,), jnp.int32)
+
+        jq = rep[q]        # group element when i lands past the head
+        jq1 = rep[q + 1]   # first tail element
+        goff = self.group_off
+        gT = self.group_T
+
+        e_B = cnt == q
+        e_C = cnt == q + 1
+        e_D = cnt == q + 2
+        jq_c = jq[:, None]
+        jq1_c = jq1[:, None]
+        pos = e_B * (
+            goff[i_row[0]][None, :]
+            + H0[:, None] * gT[i_row[0]][None, :]
+            + tri(jq_c, jq1_c, i_row)
+        )
+        base_CD = goff[jq][:, None] + H0[:, None] * gT[jq][:, None]
+        pos = pos + e_C * (base_CD + tri(i_row, jq1_c, jq_c))
+        pos = pos + e_D * (base_CD + tri(jq1_c, i_row, jq_c))
+
+        if q > 0:
+            # case A: i inside the head (cnt ≤ q−1); head =
+            # insert(j_0..j_{q−2}, i), group/tri = j_{q−1}, j_q, j_{q+1}
+            S0 = jnp.stack(
+                [pas[rep[s] + s + 1, s + 2] for s in range(q - 1)]
+            ) if q > 1 else jnp.zeros((0, seg), jnp.int32)
+            cumP = jnp.concatenate(
+                [jnp.zeros((1, seg), jnp.int32), jnp.cumsum(P0, 0)]
+            )  # cumP[t] = Σ_{s<t} P0[s], t = 0..q
+            # cumS[t] = Σ_{s=t}^{q-2} S0[s]
+            if q > 1:
+                rev = jnp.cumsum(S0[::-1], 0)[::-1]
+                cumS = jnp.concatenate(
+                    [rev, jnp.zeros((1, seg), jnp.int32)]
+                )  # (q, seg); cumS[q-1] = 0
+            else:
+                cumS = jnp.zeros((1, seg), jnp.int32)
+            jm1 = rep[q - 1]
+            baseA = goff[jm1][:, None]
+            TA = gT[jm1][:, None]
+            triA = tri(jq_c, jq1_c, jm1[:, None])
+            # static C(i + t, t+1) rows
+            CA = jnp.stack(
+                [pas[i_row[0] + t, t + 1] for t in range(q)]
+            )  # (q, d)
+            hrank = jnp.zeros((seg, d), jnp.int32)
+            for t in range(q):
+                hrank = hrank + (cnt == t) * (
+                    (cumP[t] + cumS[t])[:, None] + CA[t][None, :]
+                )
+            pos = pos + (cnt <= q - 1) * (baseA + hrank * TA + triA)
+        return pos
+
     # ------------------------------------------------------------ big tables
 
     @property

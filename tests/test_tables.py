@@ -79,3 +79,33 @@ def test_table_cache_identity():
     assert tb.tables(3, 5) is tb.tables(3, 5)
     t = tb.tables(3, 5)
     assert t.rep is t.rep  # memoized device array
+
+
+def test_position_insert_matches_sort_rank():
+    """Insert ranking (no sort, no per-element gathers) must agree with
+    the sort-then-rank oracle for every rep x every inserted value."""
+    import jax.numpy as jnp
+
+    for K, d in [(1, 5), (2, 6), (3, 7), (4, 6), (5, 5), (6, 4)]:
+        t = tb.tables(K, d)
+        if K == 1:
+            got = np.asarray(
+                t.position_insert_jnp_T(jnp.zeros((0, 3), jnp.int32))
+            )
+            assert np.array_equal(got, np.broadcast_to(np.arange(d), (3, d)))
+            continue
+        reps = tb.tables(K - 1, d).rep_np().astype(np.int32)
+        got = np.asarray(t.position_insert_jnp_T(jnp.asarray(reps.T)))
+        n = reps.shape[0]
+        full = np.concatenate(
+            [
+                np.broadcast_to(reps[:, :, None], (n, K - 1, d)),
+                np.broadcast_to(
+                    np.arange(d, dtype=np.int32)[None, None, :], (n, 1, d)
+                ),
+            ],
+            axis=1,
+        )
+        full = np.sort(full, axis=1)
+        ref = np.asarray(t.position_jnp_T(jnp.asarray(full.transpose(1, 0, 2))))
+        assert np.array_equal(got, ref), (K, d)
