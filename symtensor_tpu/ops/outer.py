@@ -329,6 +329,12 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
         # part_T: (rank_part − k, n_k, B) output-part index components on
         # the leading axis; append the contraction multiset, sort along
         # axis 0 (a compare-exchange network over (n_k, B) planes), rank.
+        if k == 1 and rank_part >= 2:
+            # single-element insert: creps are the d singletons 0..d−1 in
+            # colex order, so the sort-free insert ranking applies
+            # (tables.position_insert_jnp_T) — no (rank, n_k, B) sort
+            # stack, no per-element Pascal gathers
+            return t_fmt.position_insert_jnp_T(part_T[:, 0, :]).T
         full_T = jnp.concatenate(
             [
                 part_T,
