@@ -197,6 +197,36 @@ def main():
 
         g = jax.jit(gather_only)
         out[key]["gather_only_s"] = round(timeit(lambda: g()), 3)
+
+        if t == rank - 1:
+            # leaf emit kernel at the same shapes
+            n_out_f = comb.indep_size(rank, d)
+            out_buf = jnp.zeros((n_out_f + 1,), jnp.dtype(store_dt))
+            vals = jax.random.normal(
+                jax.random.PRNGKey(9), (Rc,), jnp.dtype(store_dt)
+            )
+            reps_flat = jnp.asarray(
+                np.sort(
+                    rng.integers(0, d, (int(npar), rank - 1)), axis=1
+                ).astype(np.int8).reshape(-1)
+            )
+
+            def emit_once(out_buf):
+                return bc._emit_kernel2(
+                    rank, d, n_out_f, Rc, store_dt
+                )(out_buf, vals, reps_flat, dd[0], dd[1], dd[2])
+
+            # donation consumes out_buf; rebuild per call outside timing
+            ek = bc._emit_kernel2(rank, d, n_out_f, Rc, store_dt)
+            bufs = [jnp.zeros((n_out_f + 1,), jnp.dtype(store_dt))
+                    for _ in range(6)]
+            r0 = ek(bufs[0], vals, reps_flat, dd[0], dd[1], dd[2])
+            fence(r0)
+            t0 = time.time()
+            for bi in range(1, 5):
+                r0 = ek(bufs[bi], vals, reps_flat, dd[0], dd[1], dd[2])
+            fence(r0)
+            out[key]["emit_s"] = round((time.time() - t0) / 4, 3)
         print(json.dumps({key: out[key]}), flush=True)
 
     print(json.dumps(out), flush=True)
