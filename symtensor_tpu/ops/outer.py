@@ -254,78 +254,22 @@ def _table_guard_limit() -> int:
     return config.max_table_entries
 
 
-def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
-    """Streaming symmetrized outer/tensordot: output computed in fixed-size
-    blocks with gather positions built *in-kernel* by the closed-form gflat
-    ranking — no (n_subsets·n_k·n_out) host tables, so arbitrarily large
-    outputs run in bounded memory (the round-1 version raised MemoryError
-    past the table guard). One lax.map body = one compiled program.
-
-        out[K] = (1/C(r_out, ka)) Σ_{S} Σ_C γ_C · A[sort(K_S∪C)]·B[sort(C∪K_∖S)]
-
-    (reference semantics symalg.py:424-459; k = 0 degenerates to the
-    position-subset outer identity.)"""
-    ra, rb, dim = af.rank, bf.rank, af.dim
+@lru_cache(maxsize=None)
+def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk):
+    """Memoized jitted streaming program for one shape signature: a fresh
+    trace per eager call cost seconds of host time (measured 28 s for 8
+    repeated rank-3 outer calls at dim 30 — all retracing)."""
     ka, kb = ra - k, rb - k
     r_out = ka + kb
     t_out = tables(r_out, dim)
-    n_out = t_out.n
-    # Layout discipline: TPU arrays tile their last dim to 128 lanes, so
-    # (N, small-rank) index tables are uploaded FLAT and index components
-    # live on LEADING axes in-kernel (see ops/basis_change.py for the same
-    # pattern and the measured blowups).
-    import os as _os
-
-    _idt_env = _os.environ.get("SYMTENSOR_STREAM_IDT", "")
-    if _idt_env:
-        idt = np.dtype(_idt_env).type
-    else:
-        idt = np.int8 if dim <= 127 else (
-            np.int16 if dim <= 32767 else np.int32
-        )
-    rep_flat = jnp.asarray(
-        (
-            t_out.rep_np()
-            if r_out > 0
-            else np.zeros((1, 0), np.int64)
-        ).astype(idt).reshape(-1)
-    )
     t_a, t_b = tables(ra, dim), tables(rb, dim)
-    tk = tables(k, dim)
-    if k > 0:
-        creps_T = jnp.asarray(tk.rep_np().astype(np.int32).T)  # (k, n_k)
-        gam = tk.multiplicity.astype(af.dtype)
-        n_k = creps_T.shape[1]
-    else:
-        creps_T = jnp.zeros((0, 1), jnp.int32)
-        gam = jnp.ones((1,), af.dtype)
-        n_k = 1
+    n_out = t_out.n
+    n_k = comb.indep_size(k, dim) if k > 0 else 1
     subsets = list(itertools.combinations(range(r_out), ka))
     n_sub = len(subsets)
+    dt = jnp.dtype(dt_str)
 
-    # Block size budgets the *peak* per-step intermediates, not just one
-    # index array: each of the n_sub subset terms materializes sort and
-    # gather temporaries of shape (rank, n_k, B). Undercounting this crashed
-    # the TPU worker (OOM through the tunnel) at rank-3×rank-3 dim-100.
-    per_elem = max(1, n_k * (ka + kb + k)) * max(1, min(n_sub, 4))
-    B = max(
-        1,
-        min(
-            n_out,
-            _streamed_block_elems() // per_elem,
-        ),
-    )
-    nblk = -(-n_out // B)
-    pad = nblk * B - n_out
-    rep_pad = (
-        jnp.concatenate([rep_flat, jnp.zeros((pad * r_out,), rep_flat.dtype)])
-        if pad
-        else rep_flat
-    )
-
-    a_data, b_data = af.data, bf.data
-
-    def pos_of_T(t_fmt, part_T, rank_part):
+    def pos_of_T(t_fmt, part_T, rank_part, creps_T):
         # part_T: (rank_part − k, n_k, B) output-part index components on
         # the leading axis; append the contraction multiset, sort along
         # axis 0 (a compare-exchange network over (n_k, B) planes), rank.
@@ -349,31 +293,119 @@ def _combine_streamed(af, bf, k, fn_multiply=True, f=None):
             return full_T[0]
         return t_fmt.position_jnp_T(full_T)
 
-    def body(rep_blk_flat):  # (B·r_out,)
-        rep_T = (
-            rep_blk_flat.reshape(B, r_out).astype(jnp.int32).T
-            if r_out
-            else jnp.zeros((0, B), jnp.int32)
-        )  # (r_out, B)
-        acc = jnp.zeros((B,), dtype=af.dtype)
-        for S in subsets:
-            Sc = tuple(i for i in range(r_out) if i not in S)
-            ia = jnp.broadcast_to(
-                rep_T[list(S), None, :], (ka, n_k, B)
-            )
-            ib = jnp.broadcast_to(
-                rep_T[list(Sc), None, :], (kb, n_k, B)
-            )
-            pa = pos_of_T(t_a, ia, ra)  # (n_k, B)
-            pb = pos_of_T(t_b, ib, rb)
-            term = jnp.einsum(
-                "c,cb->b", gam, a_data[pa] * b_data[pb]
-            )
-            acc = acc + term
-        return acc / n_sub
+    def fn(a_data, b_data, rep_pad, creps_T, gam):
+        gam = gam.astype(dt)
 
-    out = jax.lax.map(body, rep_pad.reshape(nblk, B * r_out))
-    return out.reshape(-1)[:n_out]
+        def body(rep_blk_flat):  # (B·r_out,)
+            rep_T = (
+                rep_blk_flat.reshape(B, r_out).astype(jnp.int32).T
+                if r_out
+                else jnp.zeros((0, B), jnp.int32)
+            )  # (r_out, B)
+            acc = jnp.zeros((B,), dtype=dt)
+            for S in subsets:
+                Sc = tuple(i for i in range(r_out) if i not in S)
+                ia = jnp.broadcast_to(
+                    rep_T[list(S), None, :], (ka, n_k, B)
+                )
+                ib = jnp.broadcast_to(
+                    rep_T[list(Sc), None, :], (kb, n_k, B)
+                )
+                pa = pos_of_T(t_a, ia, ra, creps_T)  # (n_k, B)
+                pb = pos_of_T(t_b, ib, rb, creps_T)
+                term = jnp.einsum(
+                    "c,cb->b", gam, a_data[pa] * b_data[pb]
+                )
+                acc = acc + term
+            return acc / n_sub
+
+        out = jax.lax.map(body, rep_pad.reshape(nblk, B * r_out))
+        return out.reshape(-1)[:n_out]
+
+    return jax.jit(fn)
+
+
+def _stream_idt(dim):
+    import os as _os
+
+    _idt_env = _os.environ.get("SYMTENSOR_STREAM_IDT", "")
+    if _idt_env:
+        return np.dtype(_idt_env).type
+    return np.int8 if dim <= 127 else (
+        np.int16 if dim <= 32767 else np.int32
+    )
+
+
+def _combine_streamed(af, bf, k):
+    """Streaming symmetrized outer/tensordot: output computed in fixed-size
+    blocks with gather positions built *in-kernel* by the closed-form gflat
+    ranking — no (n_subsets·n_k·n_out) host tables, so arbitrarily large
+    outputs run in bounded memory (the round-1 version raised MemoryError
+    past the table guard). One lax.map body = one compiled program, and the
+    jitted program plus its device tables are memoized per shape signature.
+
+        out[K] = (1/C(r_out, ka)) Σ_{S} Σ_C γ_C · A[sort(K_S∪C)]·B[sort(C∪K_∖S)]
+
+    (reference semantics symalg.py:424-459; k = 0 degenerates to the
+    position-subset outer identity.)"""
+    ra, rb, dim = af.rank, bf.rank, af.dim
+    ka, kb = ra - k, rb - k
+    r_out = ka + kb
+    t_out = tables(r_out, dim)
+    n_out = t_out.n
+    # Layout discipline: TPU arrays tile their last dim to 128 lanes, so
+    # (N, small-rank) index tables are uploaded FLAT and index components
+    # live on LEADING axes in-kernel (see ops/basis_change.py for the same
+    # pattern and the measured blowups).
+    idt = _stream_idt(dim)
+    tk = tables(k, dim)
+    if k > 0:
+        creps_T = tk._memo(
+            "creps_T", lambda: jnp.asarray(tk.rep_np().astype(np.int32).T)
+        )  # (k, n_k)
+        gam = tk.multiplicity
+        n_k = creps_T.shape[1]
+    else:
+        creps_T = jnp.zeros((0, 1), jnp.int32)
+        gam = jnp.ones((1,), af.dtype)
+        n_k = 1
+    subsets_n = comb.binom(r_out, ka)
+
+    # Block size budgets the *peak* per-step intermediates, not just one
+    # index array: each of the n_sub subset terms materializes sort and
+    # gather temporaries of shape (rank, n_k, B). Undercounting this crashed
+    # the TPU worker (OOM through the tunnel) at rank-3×rank-3 dim-100.
+    per_elem = max(1, n_k * (ka + kb + k)) * max(1, min(subsets_n, 4))
+    B = max(
+        1,
+        min(
+            n_out,
+            _streamed_block_elems() // per_elem,
+        ),
+    )
+    nblk = -(-n_out // B)
+    pad = nblk * B - n_out
+
+    def build_rep_pad():
+        rep_flat = jnp.asarray(
+            (
+                t_out.rep_np()
+                if r_out > 0
+                else np.zeros((1, 0), np.int64)
+            ).astype(idt).reshape(-1)
+        )
+        if pad:
+            rep_flat = jnp.concatenate(
+                [rep_flat, jnp.zeros((pad * r_out,), rep_flat.dtype)]
+            )
+        return rep_flat
+
+    rep_pad = t_out._memo(("rep_pad", np.dtype(idt).name, B), build_rep_pad)
+
+    fn = _streamed_jitted(
+        ra, rb, k, dim, str(jnp.dtype(af.dtype)), int(B), int(nblk)
+    )
+    return fn(af.data, bf.data, rep_pad, creps_T, gam)
 
 
 def tensordot(a, b, axes=1, stream: bool = None):
