@@ -19,6 +19,7 @@ Usage:  python benchmarks/basis_change_flagship.py [rank dim]
 
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
@@ -45,22 +46,37 @@ def main():
 
     config.max_table_entries = 3_000_000_000
     n = comb.indep_size(rank, dim)
+    # bf16 storage only where f32 residency (tensor + blocks + output)
+    # would not fit 16 GB HBM; below that f32 costs the same wall clock
+    # (gathers are slice-issue-bound, not byte-bound) and the identity
+    # check is ~1e-6 instead of bf16-level ~1e-2
+    sdt = jnp.bfloat16 if n > 200_000_000 else jnp.float32
+    isz = jnp.dtype(sdt).itemsize
     print(f"rank={rank} dim={dim}: n = {n:,} "
-          f"({2*n/1e9:.1f} GB bf16), device = {jax.devices()[0]}", flush=True)
+          f"({isz*n/1e9:.1f} GB {jnp.dtype(sdt).name}), "
+          f"device = {jax.devices()[0]}", flush=True)
 
     t0 = time.time()
-    # generate in chunks: a single random.normal(n) materializes an O(n)
-    # uint32 bits temp (6.4 GB) — pointless fragmentation pressure
-    nchunk = 8
+    # generate in chunks INTO a donated buffer: peak = n + one chunk
+    # (a single random.normal(n) spikes ~3x n: uint32 bits + output;
+    # concatenating parts spiked 2x n and fragmented the arena — the
+    # rank-6 run then OOMed uploading a 17 MB table)
+    nchunk = 16
     csz = -(-n // nchunk)
-    gen = jax.jit(
-        lambda k: jax.random.normal(k, (csz,), jnp.bfloat16)
-    )
-    parts = [gen(jax.random.PRNGKey(i)) for i in range(nchunk)]
-    A = st.FlatSymmetricTensor._raw(
-        rank, dim, jnp.concatenate(parts)[:n]
-    )
-    del parts
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def fill(buf, key, lo, m):
+        chunk = jax.random.normal(key, (m,), sdt)
+        return jax.lax.dynamic_update_slice(buf, chunk, (lo,))
+
+    buf = jnp.zeros((n,), sdt)
+    for i in range(nchunk):
+        lo = i * csz
+        m = min(csz, n - lo)
+        if m > 0:
+            buf = fill(buf, jax.random.PRNGKey(i), lo, m)
+    A = st.FlatSymmetricTensor._raw(rank, dim, buf)
+    del buf
     fence(A.data[:1])
     print(f"tensor materialized in {time.time()-t0:.1f}s", flush=True)
 
@@ -69,11 +85,14 @@ def main():
     W = jnp.asarray(Q, jnp.float32)
 
     kw = dict(
-        store_dtype=jnp.bfloat16,
+        store_dtype=sdt,
         # half of this goes to level-1 rows: R[1] ≈ elems/2/n_{r-1} sets
         # the number of full root gather passes (~8 at rank-6 dim-100);
         # bf16 block residency ≈ 5 GB against A+C = 6.4 GB on 16 GB HBM
-        block_elems=2_500_000_000,
+        # sized so root (3.2 GB) + its 2-piece gather split (another
+        # 3.2 GB — slices copy in JAX) + output (3.2 GB) + blocks +
+        # tables + transients fit 16 GB HBM
+        block_elems=2_000_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or
@@ -92,6 +111,7 @@ def main():
     # the multi-hour flagship size (SYMTENSOR_FLAGSHIP_PASSES=1)
     import os
     if int(os.environ.get("SYMTENSOR_FLAGSHIP_PASSES", "2")) >= 2:
+        C = None  # free pass-1 output: holding it OOMed the f32 rank-5 run
         t0 = time.time()
         C = basis_change_packed(A, W, **kw)
         fence(C.data[:1])

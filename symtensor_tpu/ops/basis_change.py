@@ -239,7 +239,23 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dt,
             )  # (npar, seg, wp)
-            sel = H[sel_par, :, sel_b]  # (nsel_pad, seg)
+            # select (par, b) children as CONTIGUOUS seg-runs: with wp
+            # moved ahead of seg, each child is one slice_sizes=(1,1,seg)
+            # gather (nsel_pad slice issues) — the 2-coordinate fancy
+            # index H[sel_par, :, sel_b] was nsel_pad·seg scalar-unit
+            # gathers, ~2 s per chunk at flagship sizes
+            H2 = jnp.transpose(H, (0, 2, 1))  # (npar, wp, seg)
+            starts = jnp.stack([sel_par, sel_b], axis=1)  # (nsel_pad, 2)
+            sel = jax.lax.gather(
+                H2,
+                starts,
+                jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,),
+                    collapsed_slice_dims=(0, 1),
+                    start_index_map=(0, 1),
+                ),
+                slice_sizes=(1, 1, seg),
+            )  # (nsel_pad, seg)
             return sel.T.astype(store_dt).reshape(-1)  # (seg·nsel_pad,)
 
         if nseg == 1:
