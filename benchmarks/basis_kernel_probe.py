@@ -55,16 +55,22 @@ def main():
     def fence(x):
         return float(jnp.asarray(x).reshape(-1)[0].astype(jnp.float32))
 
+    # readback floor: fencing an already-materialized scalar
+    _z = jnp.zeros(())
+    fence(_z)
+    _t0 = time.time()
+    fence(_z)
+    FLOOR = time.time() - _t0
+
     def timeit(fn, k=3):
-        fn()
+        fn()  # compile
         r0 = fn()
-        fence(r0)
+        fence(r0)  # warm + drain
         t0 = time.time()
-        acc = None
         for _ in range(k):
-            r = fn()
+            r = fn()  # dispatches serialize on-device
         fence(r)
-        return (time.time() - t0) / k
+        return max((time.time() - t0 - FLOOR) / k, 0.0)
 
     # host->device upload rate through the tunnel: run_chunk uploads
     # sel_par/sel_b (Rc int32 each) and pos_pad (Rc int64) per chunk —
@@ -211,11 +217,6 @@ def main():
                 ).astype(np.int8).reshape(-1)
             )
 
-            def emit_once(out_buf):
-                return bc._emit_kernel2(
-                    rank, d, n_out_f, Rc, store_dt
-                )(out_buf, vals, reps_flat, dd[0], dd[1], dd[2])
-
             # donation consumes out_buf; rebuild per call outside timing
             ek = bc._emit_kernel2(rank, d, n_out_f, Rc, store_dt)
             bufs = [jnp.zeros((n_out_f + 1,), jnp.dtype(store_dt))
@@ -226,7 +227,9 @@ def main():
             for bi in range(1, 5):
                 r0 = ek(bufs[bi], vals, reps_flat, dd[0], dd[1], dd[2])
             fence(r0)
-            out[key]["emit_s"] = round((time.time() - t0) / 4, 3)
+            out[key]["emit_s"] = round(
+                max((time.time() - t0 - FLOOR) / 4, 0.0), 3
+            )
         print(json.dumps({key: out[key]}), flush=True)
 
     print(json.dumps(out), flush=True)

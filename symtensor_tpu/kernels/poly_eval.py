@@ -489,7 +489,15 @@ def poly_eval_flat_batched_fast(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
 
         if cell_eligible(A.rank, A.dim):
             return poly_eval_cell_batched(A, xs)
-    if jnp.dtype(A.dtype) == jnp.bfloat16:
+    if jnp.dtype(A.dtype) == jnp.bfloat16 or (
+        # reuse an existing premul view cache rather than building a
+        # SECOND full-size view copy (plain + premul caches together
+        # would triple residency on big tensors): premul f32 measured
+        # 1.458 vs 1.016 ms at the C5 config — a fair trade against an
+        # extra 6.4 GB at flagship size
+        getattr(A, "_group_views_premul", None) is not None
+        and getattr(A, "_group_views", None) is None
+    ):
         views = group_views_premul(A)
         return _views_eval_batched_premul_jitted(A.rank, A.dim)(views, xs)
     views = group_views(A)

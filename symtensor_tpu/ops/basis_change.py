@@ -384,6 +384,14 @@ def basis_change_packed(
 
     layout_out = tables(r, d_out).layout
     n_out = comb.indep_size(r, d_out)
+    if n_out >= 2**31 - 1:
+        # device-side int32 position ranking (the emit kernel) caps the
+        # output space; the pre-device-emit host int64 path was removed
+        raise ValueError(
+            f"output space C({d_out}+{r}-1, {r}) = {n_out:,} exceeds the "
+            "int32 position range of the device-side emit; split W's "
+            "columns into windows and concatenate the results"
+        )
     # output buffer with one dump slot for padded scatters
     out_buf = jnp.zeros((n_out + 1,), dtype=store_dt)
 

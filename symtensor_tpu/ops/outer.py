@@ -142,7 +142,10 @@ def symmetric_outer(a, b, fn: str = "multiply", stream: bool = None):
             # rank-3×rank-3 dim-30 — the compile helper kills it); the
             # streamed kernel ranks positions in-kernel instead
             entries > _TRACED_TABLE_LIMIT
-            and isinstance(af.data, jax.core.Tracer)
+            and (
+                isinstance(af.data, jax.core.Tracer)
+                or isinstance(bf.data, jax.core.Tracer)
+            )
         )
     if stream:
         if fn != "multiply":
@@ -469,7 +472,10 @@ def tensordot(a, b, axes=1, stream: bool = None):
             # see symmetric_outer: avoid baking huge gather tables into a
             # caller's traced program
             entries > _TRACED_TABLE_LIMIT
-            and isinstance(af.data, jax.core.Tracer)
+            and (
+                isinstance(af.data, jax.core.Tracer)
+                or isinstance(bf.data, jax.core.Tracer)
+            )
         )
     if stream:
         acc = _combine_streamed(af, bf, k)
