@@ -33,8 +33,11 @@ def main():
     config.max_table_entries = 3_000_000_000
     out = {"rank": rank, "dim": d, "device": str(jax.devices()[0])}
 
-    store_dt, acc_dt = "bfloat16", "float32"
-    block_elems = 2_500_000_000
+    n_full = comb.indep_size(rank, d)
+    # match benchmarks/basis_change_flagship.py
+    store_dt = "bfloat16" if n_full > 200_000_000 else "float32"
+    acc_dt = "float32"
+    block_elems = 2_000_000_000
     transient_elems = 50_000_000
     onthefly_above = 250_000_000
 
