@@ -402,6 +402,25 @@ class SymmetricTensor:
             a, b = b, a
         return elementwise.binary(op, a, b, reverse=reverse)
 
+    def __array_function__(self, func, types, args, kwargs):
+        """NEP-18 hook. `np.tensordot` is blocked with an instructive
+        error (the reference does the same, symalg.py:341-347): the plain
+        tensordot of symmetric tensors is not symmetric, and silently
+        densifying it invites wrong results. Everything else falls back
+        to densify-with-warning via `__array__` (NumPy's default path)."""
+        import numpy as _np
+
+        if func is _np.tensordot:
+            raise TypeError(
+                "np.tensordot of SymmetricTensors is not symmetrized; use "
+                "symalg.tensordot (reference symalg.py:341-347)"
+            )
+        densified = tuple(
+            _np.asarray(a) if isinstance(a, SymmetricTensor) else a
+            for a in args
+        )
+        return func(*densified, **kwargs)
+
     def __array__(self, dtype=None):
         """NumPy interop: densifies with a warning (reference base.py:1027)."""
         warnings.warn(

@@ -388,6 +388,16 @@ def test_numpy_interop_outer_densifies_with_warning(fmt, rng):
     np.testing.assert_allclose(out, np.multiply.outer(da, da), atol=1e-12)
 
 
+def test_np_tensordot_blocked(fmt, rng):
+    """np.tensordot is not symmetrized — blocked with an instructive error
+    (reference symalg.py:341-347); other np functions densify-fallback."""
+    A = fmt.from_dense(random_sym(3, 4, rng))
+    with pytest.raises(TypeError, match="symalg.tensordot"):
+        np.tensordot(A, A, axes=1)
+    with pytest.warns(UserWarning, match="densifying"):
+        assert np.allclose(A, A)
+
+
 def test_data_alignment(fmt):
     A = fmt.zeros(2, 3)
     assert A.data_alignment == fmt.format
