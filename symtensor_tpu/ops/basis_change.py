@@ -111,8 +111,15 @@ def _emit_kernel2(r, d_out, n_out, nsel_pad, store_dt):
         ).astype(jnp.int32)  # (r-1, nsel_pad) ascending rows
         rep_T = jnp.concatenate([G, b[None, :].astype(jnp.int32)], axis=0)
         pos = t_out.position_jnp_T(rep_T)
-        pos = jnp.where(valid, pos, n_out)
-        return out.at[pos].set(vals[:nsel_pad].astype(out.dtype))
+        # padded slots land on DISTINCT dump positions past n_out so every
+        # index is unique — with duplicates (all pads → one slot) XLA must
+        # use its collision-safe scatter; unique_indices unlocks the fast
+        # lowering on a 16.7M-row leaf emit
+        s = jnp.arange(nsel_pad, dtype=jnp.int32)
+        pos = jnp.where(valid, pos, n_out + s)
+        return out.at[pos].set(
+            vals[:nsel_pad].astype(out.dtype), unique_indices=True
+        )
 
     return jax.jit(kern, donate_argnums=(0,))
 
@@ -392,8 +399,9 @@ def basis_change_packed(
             "int32 position range of the device-side emit; split W's "
             "columns into windows and concatenate the results"
         )
-    # output buffer with one dump slot for padded scatters
-    out_buf = jnp.zeros((n_out + 1,), dtype=store_dt)
+    # output buffer with one dump slot per padded scatter row (distinct
+    # slots keep emit indices unique → fast scatter lowering)
+    out_buf = jnp.zeros((n_out + R[r],), dtype=store_dt)
 
     # insert maps per k: materialized gather map when small, otherwise the
     # (n_k, k) representative table + closed-form ranking in-kernel
