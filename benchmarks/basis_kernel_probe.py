@@ -30,6 +30,11 @@ def main():
 
     rank = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    levels = (
+        [int(x) for x in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else list(range(rank))
+    )
     config.max_table_entries = 3_000_000_000
     out = {"rank": rank, "dim": d, "device": str(jax.devices()[0])}
 
@@ -91,7 +96,7 @@ def main():
     out["upload_134MB_first_s"] = round(t_up, 3)
     print(json.dumps({"upload": out["upload_134MB_s"]}), flush=True)
 
-    for t in range(0, rank):
+    for t in levels:
         k = rank - t - 1
         n_k = comb.indep_size(k, d)
         npar = R[t] if t > 0 else 1
