@@ -94,7 +94,31 @@ def main():
     fence(dev2[:1])
     out["upload_134MB_s"] = round(time.time() - t0, 3)
     out["upload_134MB_first_s"] = round(t_up, 3)
-    print(json.dumps({"upload": out["upload_134MB_s"]}), flush=True)
+
+    # tunnel LATENCY: tiny uploads (the per-chunk group descriptors) and
+    # tiny jitted dispatches — if either blocks ~100s of ms, the ~16
+    # chunks per fence window explain the unattributed wall clock
+    small = np.arange(300, dtype=np.int32)
+    devs = [jnp.asarray(small + i) for i in range(2)]  # warm path
+    fence(devs[-1][:1])
+    t0 = time.time()
+    devs = [jnp.asarray(small + i) for i in range(10)]
+    fence(devs[-1][:1])
+    out["small_upload_ms"] = round((time.time() - t0 - FLOOR) / 10 * 1e3, 1)
+
+    tinyf = jax.jit(lambda v: v * 2 + 1)
+    r = tinyf(devs[0])
+    fence(r[:1])
+    t0 = time.time()
+    for _ in range(20):
+        r = tinyf(r)
+    fence(r[:1])
+    out["tiny_dispatch_ms"] = round((time.time() - t0 - FLOOR) / 20 * 1e3, 1)
+    print(json.dumps({
+        "upload": out["upload_134MB_s"],
+        "small_upload_ms": out["small_upload_ms"],
+        "tiny_dispatch_ms": out["tiny_dispatch_ms"],
+    }), flush=True)
 
     for t in levels:
         k = rank - t - 1
