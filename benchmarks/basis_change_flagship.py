@@ -89,10 +89,12 @@ def main():
         # half of this goes to level-1 rows: R[1] ≈ elems/2/n_{r-1} sets
         # the number of full root gather passes (~8 at rank-6 dim-100);
         # bf16 block residency ≈ 5 GB against A+C = 6.4 GB on 16 GB HBM
-        # sized so root (3.2 GB) + its 2-piece gather split (another
-        # 3.2 GB — slices copy in JAX) + output (3.2 GB) + blocks +
-        # tables + transients fit 16 GB HBM
-        block_elems=2_000_000_000,
+        # rank ≤ 5 (f32, small root): 2.7e9 elements lets every level but
+        # the leaves sit fully resident — one chunk per level, no parent
+        # re-pass. rank 6 (bf16): sized so root (3.2 GB) + its 2-piece
+        # gather split (slices copy in JAX) + output + blocks + tables +
+        # transients fit 16 GB HBM
+        block_elems=2_700_000_000 if sdt == jnp.float32 else 2_000_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or

@@ -88,40 +88,57 @@ def _expand_groups(bs, starts, counts, nsel_pad):
     return par, bs[gid], s < cum[-1]
 
 
+def _bucket(nsel: int) -> int:
+    """Round a leaf chunk's row count up to a power-of-4 bucket: the emit
+    kernel's internal work is nsel_pad-sized, and padding every chunk to
+    the full row budget made EVERY emit cost the worst case (measured: a
+    constant 34 s per leaf chunk whether nsel was 8.5k or 15.5M)."""
+    b = 4096
+    while b < nsel:
+        b *= 4
+    return b
+
+
 @lru_cache(maxsize=None)
 def _emit_kernel2(r, d_out, n_out, nsel_pad, store_dt):
     """Leaf emit with positions computed ON DEVICE from the parent
     block's representative table (uploaded once per block) — no per-emit
-    position upload."""
+    position upload.
+
+    reps_flat is COLUMN-major ((r−1) planes of npar): per-slot rep
+    components come from (r−1) one-element fancy gathers, which run ~20×
+    faster than slice_sizes=(r−1,) row gathers (tiny DMA descriptors
+    issue at only ~0.5M/s on this chip)."""
     t_out = tables(r, d_out)
 
     def kern(out, vals, reps_flat, bs, starts, counts):
         par, b, valid = _expand_groups(bs, starts, counts, nsel_pad)
         nrows = reps_flat.shape[0] // (r - 1)
         par = jnp.minimum(par, nrows - 1)
-        G = jax.lax.gather(
-            reps_flat,
-            (par * (r - 1))[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(0,),
-                collapsed_slice_dims=(),
-                start_index_map=(0,),
-            ),
-            slice_sizes=(r - 1,),
-        ).astype(jnp.int32)  # (r-1, nsel_pad) ascending rows
-        rep_T = jnp.concatenate([G, b[None, :].astype(jnp.int32)], axis=0)
+        cols = [
+            reps_flat[j * nrows + par].astype(jnp.int32)[None, :]
+            for j in range(r - 1)
+        ]
+        rep_T = jnp.concatenate(
+            cols + [b[None, :].astype(jnp.int32)], axis=0
+        )
         pos = t_out.position_jnp_T(rep_T)
         # padded slots land on DISTINCT dump positions past n_out so every
         # index is unique — with duplicates (all pads → one slot) XLA must
-        # use its collision-safe scatter; unique_indices unlocks the fast
-        # lowering on a 16.7M-row leaf emit
+        # use its collision-safe scatter
         s = jnp.arange(nsel_pad, dtype=jnp.int32)
-        pos = jnp.where(valid, pos, n_out + s)
+        pos = jnp.where(valid, pos, n_out + (s % _DUMP_SLOTS))
         return out.at[pos].set(
-            vals[:nsel_pad].astype(out.dtype), unique_indices=True
+            vals[:nsel_pad].astype(out.dtype), unique_indices=False
         )
 
     return jax.jit(kern, donate_argnums=(0,))
+
+
+# dump slots appended to the output buffer for padded emit rows; emits are
+# bucketed so pad < nsel ≤ bucket, and pads beyond this wrap (collisions
+# among pads are harmless — the slots are discarded)
+_DUMP_SLOTS = 4096
 
 
 @lru_cache(maxsize=None)
@@ -246,23 +263,34 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dt,
             )  # (npar, seg, wp)
-            # select (par, b) children as CONTIGUOUS seg-runs: with wp
-            # moved ahead of seg, each child is one slice_sizes=(1,1,seg)
-            # gather (nsel_pad slice issues) — the 2-coordinate fancy
-            # index H[sel_par, :, sel_b] was nsel_pad·seg scalar-unit
-            # gathers, ~2 s per chunk at flagship sizes
-            H2 = jnp.transpose(H, (0, 2, 1))  # (npar, wp, seg)
-            starts = jnp.stack([sel_par, sel_b], axis=1)  # (nsel_pad, 2)
-            sel = jax.lax.gather(
-                H2,
-                starts,
-                jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1,),
-                    collapsed_slice_dims=(0, 1),
-                    start_index_map=(0, 1),
-                ),
-                slice_sizes=(1, 1, seg),
-            )  # (nsel_pad, seg)
+            # select (par, b) children. Tiny DMA descriptors issue at
+            # only ~0.5M/s on this chip, so the form matters:
+            # - seg small (leaf levels): ONE flat element-gather
+            #   (nsel_pad·seg fancy-indexed elements, ~10M/s);
+            # - seg large: contiguous seg-run slice gathers (nsel_pad
+            #   descriptors of seg elements each, DMA-rate).
+            if seg <= 64:
+                Hf = H.reshape(npar * seg * w_pad)
+                flat = (
+                    (sel_par[:, None] * seg
+                     + jnp.arange(seg, dtype=jnp.int32)[None, :])
+                    * w_pad
+                    + sel_b[:, None]
+                )  # (nsel_pad, seg)
+                sel = Hf[flat]
+            else:
+                H2 = jnp.transpose(H, (0, 2, 1))  # (npar, wp, seg)
+                starts = jnp.stack([sel_par, sel_b], axis=1)
+                sel = jax.lax.gather(
+                    H2,
+                    starts,
+                    jax.lax.GatherDimensionNumbers(
+                        offset_dims=(1,),
+                        collapsed_slice_dims=(0, 1),
+                        start_index_map=(0, 1),
+                    ),
+                    slice_sizes=(1, 1, seg),
+                )  # (nsel_pad, seg)
             return sel.T.astype(store_dt).reshape(-1)  # (seg·nsel_pad,)
 
         if nseg == 1:
@@ -302,24 +330,38 @@ class _Block:
 
 
 def _row_budgets(r, d_out, widths, total_elems):
-    """Rows per level: half the element budget goes to level 1 — its width
-    n_{r-1} dwarfs every other level, and each level-1 chunk costs a FULL
-    gather pass over the root tensor, so R[1] directly divides the number
-    of root re-passes (the dominant cost at flagship size: R[1] = 1 under
-    the old proportional shares meant d_out = 100 passes over 9.2e9
-    gathered elements).  Deeper levels split the rest evenly; widths fall
-    ~d/t-fold per level so they stay chunk-light."""
-    R = [None]
-    for t in range(1, r + 1):
-        if r == 1:
-            share = total_elems
-        elif t == 1:
-            share = total_elems / 2
-        else:
-            share = total_elems / 2 / (r - 1)
-        cap = comb.multiset_count(d_out, t)
-        R.append(int(min(cap, max(1, share // widths[t]))))
-    R[r] = min(R[r], 2**24)  # leaf rows are scatter-op sized, not memory
+    """Rows per level under the element budget.
+
+    Waterfill: levels that fit ENTIRELY (R_t = N_t rows) are granted
+    first — a full level means ONE chunk, and every extra chunk at level
+    t re-pays the parent fan-out gather (measured ~45 s per chunk at
+    rank-5 dim-100 levels 0-1: gathers are descriptor-issue-bound at
+    ~0.4M small slices/s, so chunk COUNT is the whole game).  Grant
+    order is by level footprint (cheapest full levels first); leftover
+    budget is split half to the shallowest unfull level (each of its
+    chunks costs a full parent re-pass), rest evenly."""
+    R = [None] + [0] * r
+    caps = [None] + [comb.multiset_count(d_out, t) for t in range(1, r + 1)]
+    # leaf rows are scatter-op sized, not memory-resident
+    leaf_cap = min(caps[r], 2**24)
+    remaining = total_elems
+    full = set()
+    order = sorted(range(1, r), key=lambda t: caps[t] * widths[t])
+    for t in order:
+        need = caps[t] * widths[t]
+        if need <= remaining * 0.9:
+            R[t] = caps[t]
+            full.add(t)
+            remaining -= need
+    unfull = [t for t in range(1, r) if t not in full]
+    for i, t in enumerate(sorted(unfull)):
+        share = (
+            remaining / 2 if i == 0 and len(unfull) > 1
+            else remaining / 2 / max(1, len(unfull) - 1) if len(unfull) > 1
+            else remaining
+        )
+        R[t] = int(min(caps[t], max(1, share // widths[t])))
+    R[r] = leaf_cap
     return R
 
 
@@ -399,9 +441,8 @@ def basis_change_packed(
             "int32 position range of the device-side emit; split W's "
             "columns into windows and concatenate the results"
         )
-    # output buffer with one dump slot per padded scatter row (distinct
-    # slots keep emit indices unique → fast scatter lowering)
-    out_buf = jnp.zeros((n_out + R[r],), dtype=store_dt)
+    # output buffer with wrap-around dump slots for padded emit rows
+    out_buf = jnp.zeros((n_out + _DUMP_SLOTS,), dtype=store_dt)
 
     # insert maps per k: materialized gather map when small, otherwise the
     # (n_k, k) representative table + closed-form ranking in-kernel
@@ -465,19 +506,20 @@ def basis_change_packed(
         )  # flattened (nsel_pad · n_k_child,)
         if child_level == r:
             if blk.reps_dev is None:
-                # one upload per leaf-parent block: padded flat rep table
-                # the emit kernel ranks into output positions (narrowest
-                # dtype — the tunnel is the cost)
+                # one upload per leaf-parent block: COLUMN-major flat rep
+                # table the emit kernel ranks into output positions
+                # (narrowest dtype — the tunnel is the cost)
                 rdt = (
                     np.int8 if d_out <= 127
                     else np.int16 if d_out <= 32767 else np.int32
                 )
                 rp = np.zeros((blk.npar, r - 1), rdt)
                 rp[: blk.nrows] = blk.reps
-                blk.reps_dev = jnp.asarray(rp.reshape(-1))
+                blk.reps_dev = jnp.asarray(np.ascontiguousarray(rp.T).reshape(-1))
+            bucket = min(_bucket(nsel), nsel_pad)
             out_buf = _emit_kernel2(
-                r, d_out, n_out, nsel_pad, str(store_dt)
-            )(out_buf, child_U, blk.reps_dev, bs_d, st_d, ct_d)
+                r, d_out, n_out, bucket, str(store_dt)
+            )(out_buf, child_U[:bucket], blk.reps_dev, bs_d, st_d, ct_d)
             # Throttle: dispatch is fully asynchronous, so without a fence
             # the host enqueues entire sub-trees and every pending block
             # buffer stays allocated (observed OOM at flagship size).  A
