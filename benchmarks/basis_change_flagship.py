@@ -94,7 +94,9 @@ def main():
         # re-pass. rank 6 (bf16): sized so root (3.2 GB) + its 2-piece
         # gather split (slices copy in JAX) + output + blocks + tables +
         # transients fit 16 GB HBM
-        block_elems=2_700_000_000 if sdt == jnp.float32 else 2_000_000_000,
+        # 2.7e9 f32 (10.8 GB resident) OOMed on the second pass; 2.45e9
+        # still keeps rank-5 levels 1-2 and 4 fully resident
+        block_elems=2_450_000_000 if sdt == jnp.float32 else 2_000_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or
