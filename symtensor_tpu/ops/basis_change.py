@@ -226,21 +226,27 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
             else:
                 sl = tseg  # (seg, d)
             if multi or npar == 1:
-                # masked multi-piece / scalar gather (npar == 1: the root)
-                pieces = rows_pieces if multi else (rows_flat,)
-                acc = jnp.zeros(sl.shape, acc_dt)
-                off = 0
-                for piece in pieces:
-                    L = piece.shape[0]
-                    loc = sl - off
-                    m = (loc >= 0) & (loc < L)
-                    acc = acc + jnp.where(
-                        m,
-                        piece[jnp.clip(loc, 0, L - 1)].astype(acc_dt),
-                        jnp.zeros((), acc_dt),
-                    )
-                    off += L
-                G = acc[None, :, :]  # (1, seg, d)
+                if not multi:
+                    # single piece, npar == 1 (the unsplit root): PLAIN
+                    # element gather — positions are in-bounds by
+                    # construction, and the masked clip/where/compare form
+                    # costs several extra passes over (seg, d)
+                    G = rows_flat[sl].astype(acc_dt)[None, :, :]
+                else:
+                    # masked multi-piece gather (split oversized root)
+                    acc = jnp.zeros(sl.shape, acc_dt)
+                    off = 0
+                    for piece in rows_pieces:
+                        L = piece.shape[0]
+                        loc = sl - off
+                        m = (loc >= 0) & (loc < L)
+                        acc = acc + jnp.where(
+                            m,
+                            piece[jnp.clip(loc, 0, L - 1)].astype(acc_dt),
+                            jnp.zeros((), acc_dt),
+                        )
+                        off += L
+                    G = acc[None, :, :]  # (1, seg, d)
             else:
                 # row gathers straight off the flat buffer: slice_sizes
                 # pulls each length-npar row contiguously (DMA), and the
