@@ -258,10 +258,13 @@ def _table_guard_limit() -> int:
 
 
 @lru_cache(maxsize=None)
-def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk):
+def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk, trim=True):
     """Memoized jitted streaming program for one shape signature: a fresh
     trace per eager call cost seconds of host time (measured 28 s for 8
-    repeated rank-3 outer calls at dim 30 — all retracing)."""
+    repeated rank-3 outer calls at dim 30 — all retracing).
+
+    trim=False returns the padded (nblk·B,) vector — used by the sharded
+    variant, whose per-device bodies cover only a block slice."""
     ka, kb = ra - k, rb - k
     r_out = ka + kb
     t_out = tables(r_out, dim)
@@ -323,7 +326,8 @@ def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk):
             return acc / n_sub
 
         out = jax.lax.map(body, rep_pad.reshape(nblk, B * r_out))
-        return out.reshape(-1)[:n_out]
+        out = out.reshape(-1)
+        return out[:n_out] if trim else out
 
     return jax.jit(fn)
 

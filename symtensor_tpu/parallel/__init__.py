@@ -1,5 +1,6 @@
 from .sharding import (
     make_mesh,
+    tensordot_sharded,
     poly_eval_batched_sharded,
     poly_eval_batched_sharded_grouped,
     replicated,
@@ -9,6 +10,7 @@ from .sharding import (
 
 __all__ = [
     "make_mesh",
+    "tensordot_sharded",
     "poly_eval_batched_sharded",
     "poly_eval_batched_sharded_grouped",
     "replicated",

@@ -217,3 +217,88 @@ def poly_eval_batched_sharded_grouped(
     return jax.lax.with_sharding_constraint(
         out, NamedSharding(mesh, P(dp_axis))
     )
+
+
+def tensordot_sharded(a, b, axes: int, mesh: Mesh, axis: str = "tp"):
+    """Symmetrized streamed tensordot with OUTPUT BLOCKS partitioned over
+    a mesh axis.
+
+    Every device ranks its blocks' gather positions in-kernel (closed-form
+    gflat addressing — no index tables cross the wire) and gathers from
+    replicated operands, so the only communication is the output
+    all-gather; the work is embarrassingly parallel over ICI. Semantics
+    match ops.outer.tensordot(..., stream=True) (reference
+    symalg.py:424-459).
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import outer as outer_mod
+    from ..utils.tables import tables
+
+    af, _ = outer_mod._as_flat(a)
+    bf, _ = outer_mod._as_flat(b)
+    ra, rb, k = af.rank, bf.rank, int(axes)
+    if k > min(ra, rb) or k < 1:
+        raise ValueError(
+            f"cannot contract {k} axes between ranks {ra} and {rb}"
+        )
+    if af.dim != bf.dim:
+        raise ValueError(f"dim mismatch: {af.dim} vs {bf.dim}")
+    dim = af.dim
+    r_out = ra + rb - 2 * k
+    t_out = tables(r_out, dim)
+    n_out = t_out.n
+    ndev = mesh.shape[axis]
+
+    tk = tables(k, dim)
+    creps_T = tk._memo(
+        "creps_T", lambda: jnp.asarray(tk.rep_np().astype(np.int32).T)
+    )
+    gam = tk.multiplicity
+    n_k = creps_T.shape[1]
+    n_sub = comb.binom(r_out, ra - k)
+    idt = outer_mod._stream_idt(dim)
+
+    per_elem = max(1, n_k * (ra - k + rb - k + k)) * max(1, min(n_sub, 4))
+    B = max(1, min(n_out, outer_mod._streamed_block_elems() // per_elem))
+    nblk = -(-n_out // B)
+    nblk = -(-nblk // ndev) * ndev  # block count divisible by the axis
+    pad = nblk * B - n_out
+
+    def build_rep_pad():
+        rep_flat = jnp.asarray(
+            t_out.rep_np().astype(idt).reshape(-1)
+            if r_out > 0
+            else np.zeros((0,), idt)
+        )
+        if pad:
+            rep_flat = jnp.concatenate(
+                [rep_flat, jnp.zeros((pad * r_out,), rep_flat.dtype)]
+            )
+        return rep_flat
+
+    rep_pad = t_out._memo(
+        ("rep_pad_sharded", np.dtype(idt).name, B, ndev), build_rep_pad
+    )
+
+    body = outer_mod._streamed_jitted(
+        ra, rb, k, dim, str(jnp.dtype(af.dtype)), int(B),
+        int(nblk // ndev), trim=False,
+    )
+
+    fn = shard_map(
+        lambda ad, bd, rp, ct, gm: body(ad, bd, rp.reshape(-1), ct, gm),
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    out = fn(
+        af.data, bf.data, rep_pad.reshape(nblk, B * r_out), creps_T, gam
+    )
+    out = out.reshape(-1)[:n_out]
+    if r_out == 0:
+        return FlatSymmetricTensor._raw(0, 1, out[:1])
+    return FlatSymmetricTensor._raw(r_out, dim, out)

@@ -131,3 +131,23 @@ def test_model_training_sharded(mesh, rng):
         if l0 is None:
             l0 = float(loss)
     assert float(loss) < l0  # training reduces the loss
+
+
+def test_tensordot_sharded_matches_stream(mesh, rng):
+    from symtensor_tpu.ops import outer as outer_mod
+    from symtensor_tpu.parallel.sharding import tensordot_sharded
+
+    for (ra, rb, ax) in [(3, 3, 1), (2, 3, 1), (3, 3, 2)]:
+        A = st.FlatSymmetricTensor(
+            rank=ra, dim=8,
+            data=jnp.asarray(rng.normal(size=st.utils.indep_size(ra, 8))),
+        )
+        B = st.FlatSymmetricTensor(
+            rank=rb, dim=8,
+            data=jnp.asarray(rng.normal(size=st.utils.indep_size(rb, 8))),
+        )
+        got = tensordot_sharded(A, B, ax, mesh)
+        ref = outer_mod.tensordot(A, B, axes=ax, stream=True)
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(ref.data), rtol=1e-12
+        )
