@@ -112,7 +112,7 @@ def main():
     out["c_element_4planes_s"] = round(t_c4, 3)
     out["c_element_scaled_s"] = round(t_c4 * npar / min(npar, 4), 3)
 
-    for k, v in out.items():
+    for k, v in list(out.items()):
         if k.endswith("_s") and isinstance(v, float) and v > 0:
             out[k.replace("_s", "_Gel_per_s")] = round(
                 n_idx * npar / v / 1e9, 2
