@@ -154,18 +154,16 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     the closed-form gflat ranking instead of a materialized (n_k, d)
     gather map (which would be 9.2e9 int32 at rank-6 dim-100).
 
-    Layout: blocks are TRANSPOSED, (width, npar) row-major with the
-    gathered original-multiset axis LEADING — parent access is then a
-    contiguous row-gather (DMA rate), where the (npar, width) orientation
-    made it a lane gather at the TPU's ~130M-elements/s scalar rate, which
-    dominated the whole basis change (measured rank-5 dim-100: 370 s ≈ the
-    scalar cost of its 6.3e9 gathered elements).  Critically the blocks
-    NEVER exist as 2-D arrays: npar is small (13 at flagship level 1) and
-    a (width, npar) device array lane-pads npar to 128 — the compiler
-    reported a 23.5 GB materialization of the 2.4 GB level-1 block.  The
-    kernel instead gathers rows straight out of the flat 1-D buffer with
-    lax.gather slice_sizes=(npar,), and children leave the segment stack
-    as flat (seg·nsel) chunks in the same row-major order."""
+    Layout: blocks are stored npar-MAJOR flat, viewed (npar, width)
+    row-major in-kernel (reshapes are free inside jit).  Parent access is
+    the 2-D axis-1 shared-index gather `rows[:, idx]`, the only gather
+    form XLA lowers at memory-system rate on TPU (measured 8.1 G
+    elements/s vs 0.06 for per-column slice_sizes=(npar,) row gathers and
+    ~0.03 for a 128-lane-padded (width, npar) fancy index — and a 2-D
+    (width, npar) device array also physically lane-pads npar to 128,
+    which materialized 23.5 GB for a 2.4 GB block).  npar ≤ 8-row sublane
+    padding of the (npar, width) view is free because the view only
+    exists inside the kernel; the stored buffer stays 1-D."""
     t_kp1 = tables(k + 1, d)
     if mesh_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -248,22 +246,18 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                         off += L
                     G = acc[None, :, :]  # (1, seg, d)
             else:
-                # row gathers straight off the flat buffer: slice_sizes
-                # pulls each length-npar row contiguously (DMA), and the
-                # (npar, M) output keeps npar on SUBLANES (pad ≤ 16) —
-                # never a 128-lane-padded (width, npar) materialization
-                starts = (sl.reshape(-1) * npar)[:, None]  # (seg·d, 1)
-                G = jax.lax.gather(
-                    rows_flat,
-                    starts,
-                    jax.lax.GatherDimensionNumbers(
-                        offset_dims=(0,),
-                        collapsed_slice_dims=(),
-                        start_index_map=(0,),
-                    ),
-                    slice_sizes=(npar,),
-                ).astype(acc_dt)  # (npar, seg·d)
-                G = G.reshape(npar, seg, d)
+                # 2-D axis-1 shared-index gather: blocks are stored
+                # npar-MAJOR flat, viewed (npar, width) in-kernel, and
+                # U[:, idx] lowers ~140× faster than per-column
+                # slice_sizes=(npar,) row gathers (measured 8.1 vs 0.06
+                # G elements/s at L1→2 rank-5 shapes — tiny-slice DMA
+                # descriptors issue at only ~0.4M/s)
+                rows2 = rows_flat.reshape(npar, width_par)
+                G = (
+                    rows2[:, sl.reshape(-1)]
+                    .astype(acc_dt)
+                    .reshape(npar, seg, d)
+                )
             H = jax.lax.dot_general(
                 G, Wc,
                 (((2,), (0,)), ((), ())),
@@ -304,7 +298,14 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
         else:
             # one traced segment body → small program, bounded temps
             out = jax.lax.map(seg_body, tbl)  # (nseg, seg·nsel_pad)
-        out = out.reshape(-1)[: n_k * nsel_pad]
+        # children leave the segment stack width-major (n_k, nsel_pad);
+        # ONE block transpose stores them npar-major so the NEXT level's
+        # axis-1 gather sees a (npar, width) view
+        out = (
+            out.reshape(-1)[: n_k * nsel_pad]
+            .reshape(n_k, nsel_pad)
+            .T.reshape(-1)
+        )
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
         return out
