@@ -89,14 +89,14 @@ def main():
         # half of this goes to level-1 rows: R[1] ≈ elems/2/n_{r-1} sets
         # the number of full root gather passes (~8 at rank-6 dim-100);
         # bf16 block residency ≈ 5 GB against A+C = 6.4 GB on 16 GB HBM
-        # rank ≤ 5 (f32, small root): 2.7e9 elements lets every level but
-        # the leaves sit fully resident — one chunk per level, no parent
-        # re-pass. rank 6 (bf16): sized so root (3.2 GB) + its 2-piece
+        # rank ≤ 5 (f32): sized so blocks + one block-transpose transient +
+        # tensor + output fit HBM with two-pass headroom (2.45e9 OOMed
+        # on pass 2). rank 6 (bf16): sized so root (3.2 GB) + its 2-piece
         # gather split (slices copy in JAX) + output + blocks + tables +
         # transients fit 16 GB HBM
         # 2.7e9 f32 (10.8 GB resident) OOMed on the second pass; 2.45e9
         # still keeps rank-5 levels 1-2 and 4 fully resident
-        block_elems=2_450_000_000 if sdt == jnp.float32 else 2_000_000_000,
+        block_elems=2_100_000_000 if sdt == jnp.float32 else 2_000_000_000,
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or

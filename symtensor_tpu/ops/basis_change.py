@@ -291,21 +291,43 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                     ),
                     slice_sizes=(1, 1, seg),
                 )  # (nsel_pad, seg)
-            return sel.T.astype(store_dt).reshape(-1)  # (seg·nsel_pad,)
+            # orientation-aware staging: every materialized 2-D shape must
+            # keep a ≥128-ish axis on LANES, or tiling pads it up to 128×
+            # (a (92M, 10) block staged 23.5 GB at rank 6)
+            if n_k == 1:
+                return sel.reshape(-1).astype(store_dt)
+            if nsel_pad >= 128:
+                return sel.T.astype(store_dt)  # (seg, nsel_pad)
+            return sel.astype(store_dt)  # (nsel_pad, seg), lanes = seg
 
-        if nseg == 1:
-            out = seg_body(tbl[0])
+        # assemble the child block npar-MAJOR (so the next level's axis-1
+        # gather sees a (npar, width) view), with every intermediate
+        # keeping its large axis on lanes
+        if n_k == 1:
+            out = (
+                seg_body(tbl[0]) if nseg == 1
+                else jax.lax.map(seg_body, tbl).reshape(-1)
+            )[:nsel_pad]
+        elif nsel_pad >= 128:
+            # bodies are (seg, nsel_pad); width-major stack, one 2-D
+            # transpose at the end (both orientations lane-safe)
+            if nseg == 1:
+                out2d = seg_body(tbl[0])[:n_k]
+            else:
+                out2d = jax.lax.map(seg_body, tbl).reshape(
+                    n_k_pad, nsel_pad
+                )[:n_k]
+            out = out2d.T.reshape(-1)
         else:
-            # one traced segment body → small program, bounded temps
-            out = jax.lax.map(seg_body, tbl)  # (nseg, seg·nsel_pad)
-        # children leave the segment stack width-major (n_k, nsel_pad);
-        # ONE block transpose stores them npar-major so the NEXT level's
-        # axis-1 gather sees a (npar, width) view
-        out = (
-            out.reshape(-1)[: n_k * nsel_pad]
-            .reshape(n_k, nsel_pad)
-            .T.reshape(-1)
-        )
+            # bodies are (nsel_pad, seg); stack along the width axis
+            if nseg == 1:
+                out = seg_body(tbl[0])[:, :n_k].reshape(-1)
+            else:
+                out = (
+                    jnp.transpose(jax.lax.map(seg_body, tbl), (1, 0, 2))
+                    .reshape(nsel_pad, n_k_pad)[:, :n_k]
+                    .reshape(-1)
+                )
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
         return out
