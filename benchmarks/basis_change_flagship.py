@@ -96,13 +96,18 @@ def main():
         # transients fit 16 GB HBM
         # 2.7e9 f32 (10.8 GB resident) OOMed on the second pass; 2.45e9
         # still keeps rank-5 levels 1-2 and 4 fully resident
-        block_elems=2_100_000_000 if sdt == jnp.float32 else 2_000_000_000,
+        block_elems=int(os.environ.get(
+            "SYMTENSOR_FLAGSHIP_BLOCK_ELEMS",
+            2_100_000_000 if sdt == jnp.float32 else 2_000_000_000,
+        )),
         transient_elems=50_000_000,
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or
         # already-needed) representative tables
         onthefly_above=250_000_000,
     )
+
+    import os
 
     t0 = time.time()
     C = basis_change_packed(A, W, **kw)
@@ -113,7 +118,6 @@ def main():
 
     # pass 2 isolates compile time but doubles chip time — skippable for
     # the multi-hour flagship size (SYMTENSOR_FLAGSHIP_PASSES=1)
-    import os
     if int(os.environ.get("SYMTENSOR_FLAGSHIP_PASSES", "2")) >= 2:
         C = None  # free pass-1 output: holding it OOMed the f32 rank-5 run
         t0 = time.time()
