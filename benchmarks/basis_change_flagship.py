@@ -17,6 +17,7 @@ covered in tests/test_symalg.py (f64, 1e-11).
 Usage:  python benchmarks/basis_change_flagship.py [rank dim]
 """
 
+import os
 import sys
 import time
 from functools import partial
@@ -106,8 +107,6 @@ def main():
         # already-needed) representative tables
         onthefly_above=250_000_000,
     )
-
-    import os
 
     t0 = time.time()
     C = basis_change_packed(A, W, **kw)
