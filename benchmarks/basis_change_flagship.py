@@ -101,7 +101,12 @@ def main():
             "SYMTENSOR_FLAGSHIP_BLOCK_ELEMS",
             2_100_000_000 if sdt == jnp.float32 else 2_000_000_000,
         )),
-        transient_elems=50_000_000,
+        # ≤ 2^22 is the streamed-tensordot kernel-fault threshold; the
+        # rank-6 fault hypothesis (CLAUDE.md) is tested by setting
+        # SYMTENSOR_FLAGSHIP_TRANSIENT_ELEMS=4000000
+        transient_elems=int(os.environ.get(
+            "SYMTENSOR_FLAGSHIP_TRANSIENT_ELEMS", 50_000_000
+        )),
         # keep the 1.8 GB k=4 insert map off the device too — positions for
         # both k=5 and k=4 are ranked in-kernel from the (much smaller or
         # already-needed) representative tables
