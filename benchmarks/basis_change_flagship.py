@@ -58,24 +58,31 @@ def main():
           f"device = {jax.devices()[0]}", flush=True)
 
     t0 = time.time()
-    # generate in chunks INTO a donated buffer: peak = n + one chunk
-    # (a single random.normal(n) spikes ~3x n: uint32 bits + output;
-    # concatenating parts spiked 2x n and fragmented the arena — the
-    # rank-6 run then OOMed uploading a 17 MB table)
-    nchunk = 16
-    csz = -(-n // nchunk)
+    fake = os.environ.get("SYMTENSOR_FLAGSHIP_FAKE", "") not in ("", "0")
+    if fake:
+        # crash-bisection mode: gathers/DMA are data-independent, so a
+        # zeros tensor reproduces worker faults without the ~10 min
+        # on-device random fill (identity check is skipped below)
+        buf = jnp.zeros((n,), sdt)
+    else:
+        # generate in chunks INTO a donated buffer: peak = n + one chunk
+        # (a single random.normal(n) spikes ~3x n: uint32 bits + output;
+        # concatenating parts spiked 2x n and fragmented the arena — the
+        # rank-6 run then OOMed uploading a 17 MB table)
+        nchunk = 16
+        csz = -(-n // nchunk)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-    def fill(buf, key, lo, m):
-        chunk = jax.random.normal(key, (m,), sdt)
-        return jax.lax.dynamic_update_slice(buf, chunk, (lo,))
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+        def fill(buf, key, lo, m):
+            chunk = jax.random.normal(key, (m,), sdt)
+            return jax.lax.dynamic_update_slice(buf, chunk, (lo,))
 
-    buf = jnp.zeros((n,), sdt)
-    for i in range(nchunk):
-        lo = i * csz
-        m = min(csz, n - lo)
-        if m > 0:
-            buf = fill(buf, jax.random.PRNGKey(i), lo, m)
+        buf = jnp.zeros((n,), sdt)
+        for i in range(nchunk):
+            lo = i * csz
+            m = min(csz, n - lo)
+            if m > 0:
+                buf = fill(buf, jax.random.PRNGKey(i), lo, m)
     A = st.FlatSymmetricTensor._raw(rank, dim, buf)
     del buf
     fence(A.data[:1])
@@ -131,6 +138,9 @@ def main():
         print(f"basis change pass 2 (warm): {t_warm:.1f}s", flush=True)
 
     # on-chip correctness identity: C·x^r == A·(Wx)^r
+    if fake:
+        print("fake fill: skipping identity check", flush=True)
+        return
     x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
     lhs = float(symalg.contract_all_indices_with_vector(C, x))
     rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
