@@ -1,0 +1,241 @@
+"""Insertion-depth slab decomposition of the basis-change gather.
+
+Host-side planner for docs/design_slab_gather.md: each basis-change step
+gathers, for every child multiset ``j`` (size k) and every original
+index ``i``, the parent column at the level position of
+``sort(j ∪ {i})`` (size k+1).  The slab recursion below is derived in
+COLEX order; plain LEX order (ascending multisets) is its exact mirror
+under value complement — use ``plan_lex`` for lex-order descriptors
+(same contiguity, same statistics; see its docstring for the
+bijection).
+
+**Production-layout caveat**: the gflat storage order
+(utils.combinatorics.GflatLayout) equals lex only for rank ≤ 3; for
+rank ≥ 4 it is the grouped order [colex head | group j | tail
+triangle], whose insert-contiguity structure is case-based and RICHER
+than lex (the ``i < head-max`` case keeps whole tail triangles
+contiguous — runs of length T_g ≈ C(d−g+1, 2)).  See the design doc's
+"gflat case analysis" section; the lex planner here is the verified
+core engine that the gflat planner's head-level recursion reuses.
+In colex the operator is
+
+    sl(j, i) = colex_rank(sort(j ∪ {i}))          (size k+1)
+
+The measured TPU gather rates (docs/benchmarks.md) make the *form* of
+this access the whole game: element gathers run at ~10-27M elements/s
+while contiguous runs move at DMA/HBM rate.  This module decomposes the
+(j, i) incidence set into **contiguous slabs**:
+
+- depth δ=0 (``i ≥ max(j)``): for fixed i, as j runs over the colex
+  prefix ``{j : max(j) ≤ i}`` (= child rows ``[0, N_k(i+1))``), the
+  parent positions are consecutive:
+
+      sl(j, i) = C(i+k, k+1) + rank_k(j)
+
+  → ONE contiguous parent run per (subblock, column i).
+- depth δ≥1 (``i < max(j) = M``): with j = (g, M), sort(j∪{i}) =
+  (sort(g∪{i}), M); both parent and child positions live in the
+  contiguous max=M subblock pair, where the SAME operator recurs at
+  size k−1 with insertions capped at ``i < M``.  Colex ranks are
+  dimension-independent, so sub-ranks are global ranks minus the
+  subblock base.
+
+Every pair (j, i) with i < d is covered exactly once (δ is a function
+of the pair); ``tests/test_slabs.py`` proves this exhaustively against
+the sort-based oracle for small (k, d).
+
+The planner emits flat numpy descriptor arrays bucketed by slab length
+— the shape the future device kernel consumes as dynamic_slice runs —
+plus a ``coverage`` diagnostic (fraction of incidences in slabs of at
+least a given length, i.e. the fraction that moves at DMA rate).
+
+Reference: the operator itself is the insert map of
+/root/repo/symtensor_tpu/ops/basis_change.py (step equation in its
+module docstring); the reference library has no analog (it densifies,
+/root/reference/symtensor/symalg.py:475-496).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Tuple
+
+import numpy as np
+
+from . import combinatorics as comb
+
+
+class Slab(NamedTuple):
+    """One contiguous gather run.
+
+    Children ``[child_start, child_start + length)`` of the step all
+    read their column-``i`` parent from
+    ``parent[parent_start + (rank - child_start)]`` — i.e. column i of
+    the gather matrix restricted to that child range is the contiguous
+    parent run ``[parent_start, parent_start + length)``.
+    """
+
+    child_start: int
+    i: int
+    parent_start: int
+    length: int
+    depth: int
+
+
+def iter_slabs(k: int, d: int) -> Iterator[Slab]:
+    """Yield every slab of the size-k → size-(k+1) insert operator.
+
+    Covers each (child multiset j of size k over values < d,
+    insertion value i < d) pair exactly once.  k = 0 is the root step
+    (single empty child row; parent run is the whole size-1 level).
+    """
+
+    def rec(kk: int, dim_sub: int, i_up: int, child_base: int,
+            parent_base: int, depth: int) -> Iterator[Slab]:
+        # dim_sub: child values run over [0, dim_sub); i_up: insertions
+        # of this subblock are capped at i < i_up (= dim at the top,
+        # = the just-peeled max below it — peeling happened only when
+        # i < max).
+        #
+        # δ=0 slabs: column i covers the child colex prefix
+        # {j : max(j) ≤ i} = rows [0, N_kk(i+1)).
+        for i in range(i_up):
+            length = comb.multiset_count(i + 1, kk)  # N_kk(i+1)
+            if length == 0:
+                continue
+            # sl(j, i) = C(i+kk, kk+1) + rank_kk(j): run starts at j's
+            # rank 0
+            yield Slab(
+                child_base,
+                i,
+                parent_base + comb.binom(i + kk, kk + 1),
+                length,
+                depth,
+            )
+        # recursion: children with max = M (ANY M < dim_sub, including
+        # M ≥ i_up — the child may repeat the peeled max) pair with
+        # parents with max = M; within the pair the operator recurs at
+        # size kk−1 over values ≤ M with insertions capped at i < M.
+        if kk == 0:
+            return
+        for M in range(1, dim_sub):
+            # child subblock base: first size-kk multiset with max M
+            cb = child_base + comb.multiset_count(M, kk)
+            # parent subblock base: first size-(kk+1) multiset w/ max M
+            pb = parent_base + comb.multiset_count(M, kk + 1)
+            yield from rec(kk - 1, M + 1, M, cb, pb, depth + 1)
+
+    yield from rec(k, d, d, 0, 0, 0)
+
+
+def plan(k: int, d: int, min_run: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten the slab set into device-uploadable descriptor arrays.
+
+    Returns ``(runs, tail)``:
+
+    - ``runs``: int64 array (n_slabs, 4) of
+      (child_start, i, parent_start, length) for slabs with
+      ``length ≥ min_run`` — the DMA-rate portion;
+    - ``tail``: int64 array (n_tail, 3) of (child_rank, i, parent_pos)
+      element incidences from slabs shorter than ``min_run`` — handed
+      to the element-gather kernel.
+    """
+    runs, tail = [], []
+    for s in iter_slabs(k, d):
+        if s.length >= min_run:
+            runs.append((s.child_start, s.i, s.parent_start, s.length))
+        else:
+            for t in range(s.length):
+                tail.append((s.child_start + t, s.i, s.parent_start + t))
+    runs_a = np.asarray(runs, np.int64).reshape(-1, 4)
+    tail_a = np.asarray(tail, np.int64).reshape(-1, 3)
+    return runs_a, tail_a
+
+
+def plan_lex(
+    k: int, d: int, min_run: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """`plan` mapped into plain LEX order on ascending multisets.
+
+    Lex coincides with the production gflat layout only for parent rank
+    (k+1) ≤ 3 (see module docstring); it is also the order of
+    `itertools.combinations_with_replacement` and of `rep_np()` row
+    enumeration.  The slab recursion is derived in colex; the two are
+    exact mirrors under the value complement ``m → d−1−m`` (re-sorted):
+
+        pos_lex(j)    = N_k − 1 − colex_rank(complement(j))
+        sl_lex(j, i)  = N_{k+1} − 1 − sl_colex(complement(j), d−1−i)
+
+    A colex slab (child c₀, i, parent p₀, length L) with the ascending
+    pairing c₀+t ↔ p₀+t therefore maps to the lex slab
+    (N_k − c₀ − L, d−1−i, N_{k+1} − p₀ − L, L) with the SAME ascending
+    pairing — contiguity and run lengths are preserved exactly, so
+    coverage() statistics carry over to lex order unchanged.
+    """
+    runs_c, tail_c = plan(k, d, min_run)
+    n_child = comb.multiset_count(d, k)
+    n_par = comb.multiset_count(d, k + 1)
+    runs = runs_c.copy()
+    if runs.size:
+        runs[:, 0] = n_child - runs_c[:, 0] - runs_c[:, 3]
+        runs[:, 1] = d - 1 - runs_c[:, 1]
+        runs[:, 2] = n_par - runs_c[:, 2] - runs_c[:, 3]
+    tail = tail_c.copy()
+    if tail.size:
+        tail[:, 0] = n_child - 1 - tail_c[:, 0]
+        tail[:, 1] = d - 1 - tail_c[:, 1]
+        tail[:, 2] = n_par - 1 - tail_c[:, 2]
+    return runs, tail
+
+
+def coverage(
+    k: int, d: int, min_run: int, min_rows: int = 1
+) -> Tuple[float, int, int]:
+    """(fraction of incidences in runs ≥ min_run, n_runs, n_tail_elems).
+
+    The fraction is the share of the gather that moves at DMA rate when
+    the kernel slices runs of at least ``min_run`` elements; the
+    remainder stays on the measured-slow element-gather path.
+    ``min_rows`` prunes the recursion: subblocks with fewer child rows
+    are handed whole to the element-gather tail (their child AND parent
+    ranges are contiguous, so the tail pass is range-restricted, not
+    per-pair).
+
+    Closed form: all subblocks with the same (kk, i_up) signature have
+    identical local structure (colex ranks are dimension-independent),
+    so the recursion memoizes on the signature instead of enumerating
+    the ~N_δ(d) subblocks (92M at k=5, d=100 — the "subblock explosion"
+    of docs/design_slab_gather.md).
+    """
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def stats(kk: int, dim_sub: int, i_up: int) -> Tuple[int, int, int]:
+        run_e = n_r = tail = 0
+        for i in range(i_up):
+            ln = comb.multiset_count(i + 1, kk)
+            if ln == 0:
+                continue
+            if ln >= min_run:
+                run_e += ln
+                n_r += 1
+            else:
+                tail += ln
+        if kk > 0:
+            for M in range(1, dim_sub):
+                rows = comb.multiset_count(M + 1, kk - 1)
+                sub_total = rows * M
+                if sub_total == 0:
+                    continue
+                if rows < min_rows:
+                    tail += sub_total
+                else:
+                    re, nr, tl = stats(kk - 1, M + 1, M)
+                    run_e += re
+                    n_r += nr
+                    tail += tl
+        return run_e, n_r, tail
+
+    total = comb.multiset_count(d, k) * d
+    run_e, n_r, tail = stats(k, d, d)
+    assert run_e + tail == total
+    return run_e / total, n_r, tail
