@@ -57,7 +57,7 @@ module docstring); the reference library has no analog (it densifies,
 
 from __future__ import annotations
 
-from typing import Iterator, NamedTuple, Tuple
+from typing import Iterator, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -81,50 +81,53 @@ class Slab(NamedTuple):
     depth: int
 
 
-def iter_slabs(k: int, d: int) -> Iterator[Slab]:
+def _rec(kk: int, dim_sub: int, i_up: int, child_base: int,
+         parent_base: int, depth: int) -> Iterator[Slab]:
+    """Slab recursion over one (sub)block in COLEX coordinates.
+
+    dim_sub: child values run over [0, dim_sub); i_up: insertions of
+    this subblock are capped at i < i_up (= dim at the top, = the
+    just-peeled max below it — peeling happened only when i < max).
+    """
+    # δ=0 slabs: column i covers the child colex prefix
+    # {j : max(j) ≤ i} = rows [0, N_kk(i+1)).
+    for i in range(i_up):
+        length = comb.multiset_count(i + 1, kk)  # N_kk(i+1)
+        if length == 0:
+            continue
+        # sl(j, i) = C(i+kk, kk+1) + rank_kk(j): run starts at j's
+        # rank 0
+        yield Slab(
+            child_base,
+            i,
+            parent_base + comb.binom(i + kk, kk + 1),
+            length,
+            depth,
+        )
+    # recursion: children with max = M (ANY M < dim_sub, including
+    # M ≥ i_up — the child may repeat the peeled max) pair with
+    # parents with max = M; within the pair the operator recurs at
+    # size kk−1 over values ≤ M with insertions capped at i < M.
+    if kk == 0:
+        return
+    for M in range(1, dim_sub):
+        # child subblock base: first size-kk multiset with max M
+        cb = child_base + comb.multiset_count(M, kk)
+        # parent subblock base: first size-(kk+1) multiset w/ max M
+        pb = parent_base + comb.multiset_count(M, kk + 1)
+        yield from _rec(kk - 1, M + 1, M, cb, pb, depth + 1)
+
+
+def iter_slabs(k: int, d: int, i_up: Optional[int] = None) -> Iterator[Slab]:
     """Yield every slab of the size-k → size-(k+1) insert operator.
 
     Covers each (child multiset j of size k over values < d,
-    insertion value i < d) pair exactly once.  k = 0 is the root step
-    (single empty child row; parent run is the whole size-1 level).
+    insertion value i < i_up) pair exactly once (i_up defaults to d).
+    k = 0 is the root step (single empty child row; parent run is the
+    whole size-1 level).  The capped form (i_up < d) is the head-level
+    operator of the production case-D planner (`plan_gflat_d`).
     """
-
-    def rec(kk: int, dim_sub: int, i_up: int, child_base: int,
-            parent_base: int, depth: int) -> Iterator[Slab]:
-        # dim_sub: child values run over [0, dim_sub); i_up: insertions
-        # of this subblock are capped at i < i_up (= dim at the top,
-        # = the just-peeled max below it — peeling happened only when
-        # i < max).
-        #
-        # δ=0 slabs: column i covers the child colex prefix
-        # {j : max(j) ≤ i} = rows [0, N_kk(i+1)).
-        for i in range(i_up):
-            length = comb.multiset_count(i + 1, kk)  # N_kk(i+1)
-            if length == 0:
-                continue
-            # sl(j, i) = C(i+kk, kk+1) + rank_kk(j): run starts at j's
-            # rank 0
-            yield Slab(
-                child_base,
-                i,
-                parent_base + comb.binom(i + kk, kk + 1),
-                length,
-                depth,
-            )
-        # recursion: children with max = M (ANY M < dim_sub, including
-        # M ≥ i_up — the child may repeat the peeled max) pair with
-        # parents with max = M; within the pair the operator recurs at
-        # size kk−1 over values ≤ M with insertions capped at i < M.
-        if kk == 0:
-            return
-        for M in range(1, dim_sub):
-            # child subblock base: first size-kk multiset with max M
-            cb = child_base + comb.multiset_count(M, kk)
-            # parent subblock base: first size-(kk+1) multiset w/ max M
-            pb = parent_base + comb.multiset_count(M, kk + 1)
-            yield from rec(kk - 1, M + 1, M, cb, pb, depth + 1)
-
-    yield from rec(k, d, d, 0, 0, 0)
+    yield from _rec(k, d, d if i_up is None else i_up, 0, 0, 0)
 
 
 def plan(k: int, d: int, min_run: int = 1) -> Tuple[np.ndarray, np.ndarray]:
@@ -185,6 +188,60 @@ def plan_lex(
         tail[:, 1] = d - 1 - tail_c[:, 1]
         tail[:, 2] = n_par - 1 - tail_c[:, 2]
     return runs, tail
+
+
+def plan_gflat_d(
+    k: int, d: int, min_run: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Case-D slabs of the insert operator in the PRODUCTION layout.
+
+    The gflat level layout (utils.combinatorics.GflatLayout, rank ≥ 3)
+    is [colex head | group g = m[rank−3] | tail triangle].  For
+    insertions ``i < g`` (case D of the design doc's gflat analysis —
+    49.5% of all incidences at the rank-6 root step), the parent is
+    [sort(head ∪ {i}) | g | same tail]: the tail triangle block of size
+    T_g = C(d−g+1, 2) rides along UNCHANGED, so every head-level colex
+    slab of L heads becomes one contiguous production run of L·T_g
+    elements.  The head-level operator is exactly the capped colex
+    recursion ``iter_slabs(k−3, g+1, i_up=g)`` — the exhaustively
+    verified core.
+
+    Requires k ≥ 3 (for k ≤ 2 the layout is lex/triangular — use
+    `plan_lex`).  Returns (runs, tail) in `plan`'s format, covering
+    exactly the i < g incidences; cases A/B/C are separate planners.
+    ``min_run`` is in PRODUCTION elements (post-×T_g), so even
+    head-level tail elements usually clear it.
+    """
+    if k < 3:
+        raise ValueError("plan_gflat_d requires k ≥ 3 (gflat child "
+                         "layout); use plan_lex below that")
+    kh = k - 3
+    lay_c = comb.gflat_layout(k, d)
+    lay_p = comb.gflat_layout(k + 1, d)
+    runs, tail = [], []
+    for g in range(1, d):
+        T = int(lay_c.T[g])
+        cb = int(lay_c.group_off[g])
+        pb = int(lay_p.group_off[g])
+        for s in _rec(kh, g + 1, g, 0, 0, 0):
+            length = s.length * T
+            if length >= min_run:
+                runs.append((
+                    cb + s.child_start * T,
+                    s.i,
+                    pb + s.parent_start * T,
+                    length,
+                ))
+            else:
+                for t in range(length):
+                    tail.append((
+                        cb + s.child_start * T + t,
+                        s.i,
+                        pb + s.parent_start * T + t,
+                    ))
+    runs_a = np.asarray(runs, np.int64).reshape(-1, 4)
+    tail_a = np.asarray(tail, np.int64).reshape(-1, 3)
+    return runs_a, tail_a
 
 
 def coverage(

@@ -111,6 +111,47 @@ def test_plan_lex_is_production_layout_below_rank_4():
     assert np.array_equal(G, parent[sl])
 
 
+@pytest.mark.parametrize("k,d", [(3, 5), (3, 7), (4, 5), (5, 6)])
+def test_plan_gflat_d_matches_production_insert(k, d):
+    # case D (i < g) must reproduce the PRODUCTION gflat insert
+    # operator (position_insert_jnp_T) exactly on its pairs, and cover
+    # every i < g pair exactly once
+    import jax.numpy as jnp
+
+    from symtensor_tpu.utils import combinatorics as comb2
+    from symtensor_tpu.utils.tables import tables
+
+    n_child = comb.multiset_count(d, k)
+    rep = np.asarray(tables(k, d).rep_np(), np.int32).reshape(n_child, k)
+    sl = np.asarray(
+        tables(k + 1, d).position_insert_jnp_T(jnp.asarray(rep.T))
+    )
+    # production g per child row = component rank−3 of the SORTED rep
+    g_of = rep[:, k - 3]
+    want = {}
+    for c in range(n_child):
+        for i in range(int(g_of[c])):
+            want[(c, i)] = int(sl[c, i])
+    runs, tail = slabs.plan_gflat_d(k, d, min_run=4)
+    got = {}
+    for cs, i, ps, ln in runs:
+        assert ln >= 4
+        for t in range(ln):
+            key = (int(cs + t), int(i))
+            assert key not in got, f"dup {key}"
+            got[key] = int(ps + t)
+    for cr, i, pp in tail:
+        key = (int(cr), int(i))
+        assert key not in got, f"dup {key}"
+        got[key] = int(pp)
+    assert got == want
+
+
+def test_plan_gflat_d_rejects_lex_ranks():
+    with pytest.raises(ValueError):
+        slabs.plan_gflat_d(2, 5)
+
+
 def test_coverage_accounting():
     frac, n_runs, n_tail = slabs.coverage(3, 20, min_run=8)
     total = comb.multiset_count(20, 3) * 20
