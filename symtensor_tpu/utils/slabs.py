@@ -244,6 +244,65 @@ def plan_gflat_d(
     return runs_a, tail_a
 
 
+def plan_gflat_c(
+    k: int, d: int, min_run: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Case-C slabs (g ≤ i < ta) in the PRODUCTION layout.
+
+    Parent = [head, g | G'=i | (ta−i, tb−i)]: the child tail rows with
+    ta > i map row-for-row (equal lengths: parent side' = d−i, parent
+    row a−(i−g) has length side−a) onto the TAIL sub-triangle of the
+    parent group-i block, so per (head-rank h, g, i) the covered
+    incidences are ONE contiguous parent run of C(side−a₀+1, 2)
+    elements (a₀ = i−g+1), paired with the contiguous child row-suffix
+    — the same (child varies, i fixed) column-run semantics as case D,
+    hence the same (child_start, i, parent_start, length) record.
+
+    ~Σ_g P_k[g]·(d−1−g) descriptors (4.3e6 at k=5, d=100, avg run
+    ~350 elements).  Requires k ≥ 3.
+    """
+    if k < 3:
+        raise ValueError("plan_gflat_c requires k ≥ 3 (gflat child "
+                         "layout); use plan_lex below that")
+    lay_c = comb.gflat_layout(k, d)
+    lay_p = comb.gflat_layout(k + 1, d)
+    runs, tail = [], []
+    for g in range(d - 1):
+        side = d - g
+        T = int(lay_c.T[g])
+        n_heads = int(lay_c.P[g])
+        cOff = int(lay_c.group_off[g])
+        # parent head' = [head, g]: colex rank = colex(head) + the g
+        # appended as the new max ⇒ rank' = C(g + kh, kh + 1) + h for
+        # head colex rank h (kh = k−3): heads are ≤ g so appending g
+        # keeps sortedness, and the colex closed form adds the last-slot
+        # term.  (Same identity as the δ=0 slab start.)
+        kh = k - 3
+        hp_base = comb.binom(g + kh, kh + 1)
+        for i in range(g, d - 1):
+            a0 = i - g + 1
+            if a0 >= side:
+                break
+            length = comb.binom(side - a0 + 1, 2)
+            # child row-suffix start: local tri offset of row a0
+            c_local = T - length
+            # parent: group-i block, tail sub-triangle = last `length`
+            # elements of the (head', i) tri block
+            T_p = int(lay_p.T[i])
+            pOff = int(lay_p.group_off[i])
+            for h in range(n_heads):
+                cs = cOff + h * T + c_local
+                ps = pOff + (hp_base + h) * T_p + (T_p - length)
+                if length >= min_run:
+                    runs.append((cs, i, ps, length))
+                else:
+                    for t in range(length):
+                        tail.append((cs + t, i, ps + t))
+    runs_a = np.asarray(runs, np.int64).reshape(-1, 4)
+    tail_a = np.asarray(tail, np.int64).reshape(-1, 3)
+    return runs_a, tail_a
+
+
 def coverage(
     k: int, d: int, min_run: int, min_rows: int = 1
 ) -> Tuple[float, int, int]:

@@ -152,6 +152,65 @@ def test_plan_gflat_d_rejects_lex_ranks():
         slabs.plan_gflat_d(2, 5)
 
 
+@pytest.mark.parametrize("k,d", [(3, 5), (3, 7), (4, 5), (5, 6)])
+def test_plan_gflat_c_matches_production_insert(k, d):
+    # case C (g ≤ i < ta): whole child tail-row suffixes map onto the
+    # tail sub-triangle of the parent group-i block
+    import jax.numpy as jnp
+
+    from symtensor_tpu.utils.tables import tables
+
+    n_child = comb.multiset_count(d, k)
+    rep = np.asarray(tables(k, d).rep_np(), np.int32).reshape(n_child, k)
+    sl = np.asarray(
+        tables(k + 1, d).position_insert_jnp_T(jnp.asarray(rep.T))
+    )
+    g_of, ta_of = rep[:, k - 3], rep[:, k - 2]
+    want = {}
+    for c in range(n_child):
+        for i in range(int(g_of[c]), int(ta_of[c])):
+            want[(c, i)] = int(sl[c, i])
+    runs, tail = slabs.plan_gflat_c(k, d, min_run=4)
+    got = {}
+    for cs, i, ps, ln in runs:
+        assert ln >= 4
+        for t in range(ln):
+            key = (int(cs + t), int(i))
+            assert key not in got, f"dup {key}"
+            got[key] = int(ps + t)
+    for cr, i, pp in tail:
+        key = (int(cr), int(i))
+        assert key not in got, f"dup {key}"
+        got[key] = int(pp)
+    assert got == want
+
+
+def test_plan_gflat_d_and_c_are_disjoint_and_cover_below_ta():
+    # together D (i < g) and C (g ≤ i < ta) cover exactly the i < ta
+    # incidences
+    k, d = 4, 6
+    n_child = comb.multiset_count(d, k)
+    from symtensor_tpu.utils.tables import tables
+
+    rep = np.asarray(tables(k, d).rep_np(), np.int64).reshape(n_child, k)
+    covered = set()
+    for runs, tail in (slabs.plan_gflat_d(k, d, 3),
+                       slabs.plan_gflat_c(k, d, 3)):
+        for cs, i, ps, ln in runs:
+            for t in range(ln):
+                key = (int(cs + t), int(i))
+                assert key not in covered
+                covered.add(key)
+        for cr, i, pp in tail:
+            key = (int(cr), int(i))
+            assert key not in covered
+            covered.add(key)
+    want = {
+        (c, i) for c in range(n_child) for i in range(int(rep[c, k - 2]))
+    }
+    assert covered == want
+
+
 def test_coverage_accounting():
     frac, n_runs, n_tail = slabs.coverage(3, 20, min_run=8)
     total = comb.multiset_count(20, 3) * 20
