@@ -303,6 +303,122 @@ def plan_gflat_c(
     return runs_a, tail_a
 
 
+def plan_gflat_a(k: int, d: int) -> np.ndarray:
+    """Case-A patches (i ≥ tb) in the PRODUCTION layout.
+
+    Parent = [head, g | G'=ta | (tb−ta, i−ta)].  For one (head-rank h,
+    g, a) the incidences {(child b ∈ [a, side), i ∈ [tb, d))} cover the
+    COMPLETE parent tri block at (head'=[head,g], group'=ta) — one
+    contiguous run of T(side−a) = C(side−a+1, 2) elements.
+
+    Returns an int64 (n_patches, 4) array of rows
+    (child_start, n, parent_start, ta) with the semantics
+
+        for t in [0, n):   # child row b = a+t
+            child  = child_start + t
+            for u in [0, n−t):
+                incidence (child, i = ta+t+u) ← parent_start
+                    + tri_off_n(t) + u     # tri_off_n(t) = t·n − t(t−1)/2
+
+    ~Σ_g P_k[g]·(d−g) patches (4.3e6 at k=5, d=100).  Case B reads the
+    SAME parent block (transposed roles) — one tile fetch serves both.
+    Requires k ≥ 3.
+    """
+    if k < 3:
+        raise ValueError("plan_gflat_a requires k ≥ 3 (gflat child "
+                         "layout); use plan_lex below that")
+    kh = k - 3
+    lay_c = comb.gflat_layout(k, d)
+    lay_p = comb.gflat_layout(k + 1, d)
+    patches = []
+    for g in range(d):
+        side = d - g
+        T = int(lay_c.T[g])
+        n_heads = int(lay_c.P[g])
+        cOff = int(lay_c.group_off[g])
+        hp_base = comb.binom(g + kh, kh + 1)
+        tri_off = 0
+        for a in range(side):
+            n = side - a
+            ta = g + a
+            T_p = int(lay_p.T[ta])
+            assert T_p == comb.binom(n + 1, 2)
+            pOff = int(lay_p.group_off[ta])
+            for h in range(n_heads):
+                patches.append((
+                    cOff + h * T + tri_off,
+                    n,
+                    pOff + (hp_base + h) * T_p,
+                    ta,
+                ))
+            tri_off += n
+    return np.asarray(patches, np.int64).reshape(-1, 4)
+
+
+def expand_patches_a(patches: np.ndarray):
+    """Expand case-A patch records to (child, i, parent_pos) triples —
+    test/oracle helper (the kernel consumes patches directly)."""
+    out = []
+    for cs, n, ps, ta in patches:
+        off = 0
+        for t in range(n):
+            for u in range(n - t):
+                out.append((cs + t, ta + t + u, ps + off + u))
+            off += n - t
+    return out
+
+
+def plan_gflat_b(
+    k: int, d: int, min_run: int = 1
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Case-B slabs (ta ≤ i < tb) in the PRODUCTION layout.
+
+    Same parent tri block as case A with TRANSPOSED tail roles:
+    tail' = (i−ta, tb−ta), row v = i−ta, column b−a > v.  For fixed
+    (head h, g, a, v): children b ∈ (a+v, side) are a contiguous
+    segment and parents are the row-v strict suffix — standard
+    (child varies, i fixed) column runs in `plan`'s (runs, tail)
+    format.  Run lengths are n−v−1 (avg ~(d−g)/2); at full scale these
+    descriptors are generated in-kernel from the case-A patch table,
+    but the explicit form here is the small-scale oracle.
+    """
+    if k < 3:
+        raise ValueError("plan_gflat_b requires k ≥ 3 (gflat child "
+                         "layout); use plan_lex below that")
+    kh = k - 3
+    lay_c = comb.gflat_layout(k, d)
+    lay_p = comb.gflat_layout(k + 1, d)
+    runs, tail = [], []
+    for g in range(d):
+        side = d - g
+        T = int(lay_c.T[g])
+        n_heads = int(lay_c.P[g])
+        cOff = int(lay_c.group_off[g])
+        hp_base = comb.binom(g + kh, kh + 1)
+        tri_off = 0
+        for a in range(side):
+            n = side - a
+            ta = g + a
+            T_p = int(lay_p.T[ta])
+            pOff = int(lay_p.group_off[ta])
+            p_tri = 0
+            for v in range(n - 1):
+                length = n - v - 1
+                for h in range(n_heads):
+                    cs = cOff + h * T + tri_off + v + 1
+                    ps = pOff + (hp_base + h) * T_p + p_tri + 1
+                    if length >= min_run:
+                        runs.append((cs, ta + v, ps, length))
+                    else:
+                        for t in range(length):
+                            tail.append((cs + t, ta + v, ps + t))
+                p_tri += n - v
+            tri_off += n
+    runs_a = np.asarray(runs, np.int64).reshape(-1, 4)
+    tail_a = np.asarray(tail, np.int64).reshape(-1, 3)
+    return runs_a, tail_a
+
+
 def coverage(
     k: int, d: int, min_run: int, min_rows: int = 1
 ) -> Tuple[float, int, int]:

@@ -211,6 +211,88 @@ def test_plan_gflat_d_and_c_are_disjoint_and_cover_below_ta():
     assert covered == want
 
 
+@pytest.mark.parametrize("k,d", [(3, 5), (3, 7), (4, 5), (5, 6)])
+def test_plan_gflat_a_b_match_production_insert(k, d):
+    # cases A (i ≥ tb, patches) and B (ta ≤ i < tb, transposed-role
+    # runs) read the same parent tri block; each must match the
+    # production operator exactly on its own pairs
+    import jax.numpy as jnp
+
+    from symtensor_tpu.utils.tables import tables
+
+    n_child = comb.multiset_count(d, k)
+    rep = np.asarray(tables(k, d).rep_np(), np.int32).reshape(n_child, k)
+    sl = np.asarray(
+        tables(k + 1, d).position_insert_jnp_T(jnp.asarray(rep.T))
+    )
+    ta_of, tb_of = rep[:, k - 2], rep[:, k - 1]
+
+    want_a = {}
+    want_b = {}
+    for c in range(n_child):
+        for i in range(int(ta_of[c]), d):
+            if i >= int(tb_of[c]):
+                want_a[(c, i)] = int(sl[c, i])
+            else:
+                want_b[(c, i)] = int(sl[c, i])
+
+    got_a = {}
+    for cs, i, ps in slabs.expand_patches_a(slabs.plan_gflat_a(k, d)):
+        key = (int(cs), int(i))
+        assert key not in got_a, f"dup {key}"
+        got_a[key] = int(ps)
+    assert got_a == want_a
+
+    runs, tail = slabs.plan_gflat_b(k, d, min_run=3)
+    got_b = {}
+    for cs, i, ps, ln in runs:
+        assert ln >= 3
+        for t in range(ln):
+            key = (int(cs + t), int(i))
+            assert key not in got_b, f"dup {key}"
+            got_b[key] = int(ps + t)
+    for cr, i, pp in tail:
+        key = (int(cr), int(i))
+        assert key not in got_b
+        got_b[key] = int(pp)
+    assert got_b == want_b
+
+
+def test_gflat_four_cases_partition_all_incidences():
+    # D ∪ C ∪ B ∪ A must cover every (child, i) pair exactly once and
+    # reproduce the production operator in full
+    import jax.numpy as jnp
+
+    from symtensor_tpu.utils.tables import tables
+
+    k, d = 4, 6
+    n_child = comb.multiset_count(d, k)
+    rep = np.asarray(tables(k, d).rep_np(), np.int32).reshape(n_child, k)
+    sl = np.asarray(
+        tables(k + 1, d).position_insert_jnp_T(jnp.asarray(rep.T))
+    )
+    want = {
+        (c, i): int(sl[c, i]) for c in range(n_child) for i in range(d)
+    }
+    got = {}
+
+    def add(key, val):
+        assert key not in got, f"dup {key}"
+        got[key] = val
+
+    for planner in (slabs.plan_gflat_d, slabs.plan_gflat_c,
+                    slabs.plan_gflat_b):
+        runs, tail = planner(k, d, 3)
+        for cs, i, ps, ln in runs:
+            for t in range(ln):
+                add((int(cs + t), int(i)), int(ps + t))
+        for cr, i, pp in tail:
+            add((int(cr), int(i)), int(pp))
+    for cs, i, ps in slabs.expand_patches_a(slabs.plan_gflat_a(k, d)):
+        add((int(cs), int(i)), int(ps))
+    assert got == want
+
+
 def test_coverage_accounting():
     frac, n_runs, n_tail = slabs.coverage(3, 20, min_run=8)
     total = comb.multiset_count(20, 3) * 20
