@@ -47,12 +47,15 @@ def main():
         v = float(out[0, 0])
         return time.time() - t0, v
 
-    # calibrate (includes compile; run twice, use the second)
+    # calibrate by SLOPE between two counts — a single run is dominated
+    # by the fixed tunnel dispatch/readback cost (~1.7 s), which made
+    # the first version undershoot runtimes by ~75x
     run(2000)
-    dt, _ = run(2000)
-    per_iter = dt / 2000
-    print(f"calibration: {per_iter*1e6:.1f} us/iter "
-          f"({dt:.2f}s for 2000)", flush=True)
+    d1, _ = run(50_000)
+    d2, _ = run(400_000)
+    per_iter = (d2 - d1) / 350_000
+    print(f"calibration: {per_iter*1e6:.2f} us/iter by slope "
+          f"({d1:.2f}s @50k, {d2:.2f}s @400k)", flush=True)
 
     for tgt in targets:
         iters = max(100, int(tgt / per_iter))
