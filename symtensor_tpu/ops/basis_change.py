@@ -142,6 +142,20 @@ _DUMP_SLOTS = 4096
 
 
 @lru_cache(maxsize=None)
+def _combine_windows(nsel_pad, nkws, store_dt):
+    """Reassemble column-windowed step outputs into one npar-major flat
+    child block: each window is (nsel_pad, nkw) flattened; concat along
+    the column axis."""
+
+    def comb_fn(*outs):
+        return jnp.concatenate(
+            [o.reshape(nsel_pad, -1) for o in outs], axis=1
+        ).reshape(-1)
+
+    return jax.jit(comb_fn)
+
+
+@lru_cache(maxsize=None)
 def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                  store_dt, acc_dt, onthefly, mesh_axis=None):
     """(parent rows, W columns [b_lo, b_lo+w_pad)) → selected children,
@@ -636,12 +650,52 @@ def basis_change_packed(
             # insert-ranking planes: cnt compare stack + masked FMA rows
             cost += d * (k + 2) * 3
         seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
-        kern = _step_kernel(
-            blk.npar, tuple(int(p.shape[0]) for p in blk.U),
-            n_k, d, k, wp, Rc, seg,
-            str(store_dt), str(acc_dt), onthefly,
-            None if mesh is None else (mesh, tp_axis),
-        )
+        # Host-level COLUMN WINDOWING of long steps: a single program
+        # with ~59k map steps (the rank-6 t=0 root pass) crashes the
+        # TPU worker through the tunnel, while the identical kernel at
+        # ≤7,424 steps runs fine (benchmarks/basis_t0_probe*.py
+        # bisection).  Positions are computed from the table rows
+        # (absolute multisets), so slicing the child-column axis into
+        # windows is exact; outputs are reassembled npar-major.
+        max_segs = _env_int("SYMTENSOR_BASIS_MAX_SEGS", 6000)
+        nseg_tot = -(-n_k // seg)
+        piece_lens = tuple(int(p.shape[0]) for p in blk.U)
+        mesh_axis = None if mesh is None else (mesh, tp_axis)
+        if nseg_tot > max_segs and n_k > 1:
+            nwin = -(-nseg_tot // max_segs)
+            cols_raw = -(-n_k // nwin)
+            win_cols = -(-cols_raw // seg) * seg  # multiple of seg
+            bounds = [
+                (c0, min(c0 + win_cols, n_k))
+                for c0 in range(0, n_k, win_cols)
+            ]
+            kerns = [
+                _step_kernel(
+                    blk.npar, piece_lens, c1 - c0, d, k, wp, Rc, seg,
+                    str(store_dt), str(acc_dt), onthefly, mesh_axis,
+                )
+                for c0, c1 in bounds
+            ]
+
+            def kern(rows_pieces, tbl_full, Wm, b_lo, bs, st_, ct_,
+                     _bounds=tuple(bounds), _kerns=tuple(kerns)):
+                outs = []
+                for (c0, c1), kw in zip(_bounds, _kerns):
+                    tslice = (
+                        tbl_full[c0 * k : c1 * k] if onthefly
+                        else tbl_full[c0:c1]
+                    )
+                    w_out = kw(rows_pieces, tslice, Wm, b_lo, bs, st_, ct_)
+                    if _fence_every() == 1:
+                        float(w_out[0])
+                    outs.append(w_out)
+                nkws = tuple(c1 - c0 for c0, c1 in _bounds)
+                return _combine_windows(Rc, nkws, str(store_dt))(*outs)
+        else:
+            kern = _step_kernel(
+                blk.npar, piece_lens, n_k, d, k, wp, Rc, seg,
+                str(store_dt), str(acc_dt), onthefly, mesh_axis,
+            )
         # parents available per new max element b (prefix property)
         counts = np.searchsorted(
             blk.maxels, np.arange(d_out) + 1, side="left"

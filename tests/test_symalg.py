@@ -415,6 +415,34 @@ def test_basis_change_chunked_matches(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
 
 
+@pytest.mark.parametrize("max_segs", [1, 2, 5])
+def test_basis_change_column_windowing(rng, max_segs, monkeypatch):
+    """Host-level column windowing of long step kernels (the rank-6 t=0
+    worker-crash fix) must be exact: windows slice the child-column
+    axis, positions stay absolute, outputs reassemble npar-major."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    monkeypatch.setenv("SYMTENSOR_BASIS_MAX_SEGS", str(max_segs))
+    dense = random_sym(4, 5, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    for d_out in (3, 5):
+        W = rng.normal(size=(5, d_out))
+        got = basis_change_packed(
+            A,
+            jnp.asarray(W),
+            block_elems=600,
+            # small transient ⇒ small seg ⇒ nseg_tot > max_segs at
+            # every non-leaf level ⇒ windowing exercised throughout
+            transient_elems=64,
+        )
+        oracle = np.einsum("abcd,ai,bj,ck,dl->ijkl", dense, W, W, W, W)
+        np.testing.assert_allclose(
+            np.asarray(got.todense()),
+            sym_np(oracle),
+            atol=1e-9,
+        )
+
+
 @pytest.mark.parametrize(
     "block_elems,transient_elems", [(17, 23), (64, 32), (500, 4096)]
 )
