@@ -72,9 +72,13 @@ def main():
         np.pad(np.ones(nsel_pad, np.int32), (0, w_pad - nsel_pad))
     )
 
+    # stages 1-3 are the original bisection; any argument > 3 is taken
+    # as a raw n_k value (e.g. 91962036 = 59407·seg, the pad-free
+    # near-full shape that isolates the in-kernel 460 MB table
+    # concatenate — n_k not a seg multiple adds a pad concat)
     caps = {1: 40 * seg, 2: 7424 * seg, 3: n_k_full}
     for stage in stages:
-        n_k = min(caps[stage], n_k_full)
+        n_k = min(caps.get(stage, stage), n_k_full)
         tbl = jnp.asarray(rep_np[: n_k * k])
         kern = _step_kernel(
             1, (piece_len, piece_len), n_k, d, k, w_pad, nsel_pad, seg,
