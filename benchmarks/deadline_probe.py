@@ -1,20 +1,22 @@
 """Test the program-runtime-deadline theory of the TPU worker "kernel
 faults" through the axon tunnel.
 
-Evidence so far (basis_t0_probe*.py): the rank-6 t=0 step kernel passes
-at 7,424 map steps (45 s measured) and crashes at 59,408 steps (~6 min
-projected) EVEN with the big stacked output removed — i.e. the fault
-tracks total program RUNTIME, not buffer sizes or trip counts.  The
-historical faults fit too: streamed tensordot crashed only when
-per-step blocks (hence total runtime) grew, and every successful long
-program clocked ≤ ~57 s.
+OUTCOME (recorded): the deadline theory is REFUTED — a ~595 s single
+fori_loop program completed without a worker crash, so long programs
+are not killed on runtime.  Two oddities surfaced instead: (a) the
+scaled-identity matmul loop returned v=1.0000 at several iteration
+counts where float32 math gives ~5e-16 (CPU verified) — an unexplained
+wrong result from the tunnel (random-matrix loops in
+deadline_probe2.py are self-consistent, so production ops with oracle
+checks are unaffected); (b) a 156x superlinear time jump between 176k
+and 352k iterations.  The basis-change fault bisection continued in
+basis_t0_probe.py; the correlate left standing there is the lax.map
+xs table size / step count (crashes at ≥20,000 steps / ≥155 MB int8
+table; passes at ≤7,424 steps / ≤57 MB).
 
 This probe times a pure dependent-matmul fori_loop (tiny memory, no
 gathers) at increasing iteration counts: calibrate per-iteration cost,
-then run targets of ~30 s, ~75 s, ~150 s, ~300 s.  If programs above a
-threshold crash with the same UNAVAILABLE error, the deadline theory is
-confirmed and the fix everywhere is host-level chunking of long
-programs (+ fences), NOT shape surgery.
+then run targets of ~30 s, ~75 s, ~150 s, ~300 s.
 
 Usage:  python benchmarks/deadline_probe.py [targets_seconds...]
 """
