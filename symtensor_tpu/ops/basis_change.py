@@ -144,8 +144,9 @@ _DUMP_SLOTS = 4096
 @lru_cache(maxsize=None)
 def _combine_windows(nsel_pad, nkws, store_dt):
     """Reassemble column-windowed step outputs into one npar-major flat
-    child block: each window is (nsel_pad, nkw) flattened; concat along
-    the column axis."""
+    child block via a single concat.  Superseded in production by
+    `_dus_combine` (donated in-place assembly, no n-operand transient);
+    kept for the window-path probes."""
 
     def comb_fn(*outs):
         return jnp.concatenate(
@@ -153,6 +154,23 @@ def _combine_windows(nsel_pad, nkws, store_dt):
         ).reshape(-1)
 
     return jax.jit(comb_fn)
+
+
+@lru_cache(maxsize=None)
+def _dus_combine(nsel_pad, n_k, nkw, store_dt):
+    """Write one column window (nsel_pad, nkw) into the flat npar-major
+    child buffer in place (donated) at column offset c0."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def put(buf_flat, piece, c0):
+        b2 = buf_flat.reshape(nsel_pad, n_k)
+        b2 = jax.lax.dynamic_update_slice(
+            b2, piece.reshape(nsel_pad, nkw), (jnp.int32(0), c0)
+        )
+        return b2.reshape(-1)
+
+    return put
 
 
 @lru_cache(maxsize=None)
@@ -519,6 +537,29 @@ def basis_change_packed(
                 )
         return _maps[k]
 
+    _maps_host = {}
+    _win_tbls = {}
+
+    def insert_map_host(k, onthefly):
+        """Host-side table for the column-windowed path: windows upload
+        their own ~46 MB slices instead of slicing a large resident
+        device table."""
+        if k not in _maps_host:
+            if onthefly:
+                rep_np = tables(k, d).rep_np()
+                if d <= 127:
+                    dt = np.int8
+                elif d <= 32767:
+                    dt = np.int16
+                else:
+                    dt = np.int32
+                _maps_host[k] = np.ascontiguousarray(
+                    rep_np.astype(dt).reshape(-1)
+                )
+            else:
+                _maps_host[k] = tables(r, d).insert_table_np(k)
+        return _maps_host[k]
+
     # Zero-pad W's columns by the largest window so the in-kernel
     # dynamic_slice never clamps b_lo (clamping would silently shift the
     # selected columns when a window overhangs d_out).
@@ -639,7 +680,9 @@ def basis_change_packed(
         npar_pad = blk.npar
         Rc = R[child_level]
         wp = w_pad[child_level]
-        tbl_arg, onthefly = insert_map(k)
+        # predict the insert-map form WITHOUT building it (the windowed
+        # path wants host tables, never a full-size device upload)
+        onthefly = n_k * d > fly_limit
         # per-segment-element transient cost: the (npar, seg, d) gather,
         # the (npar, seg, wp) product with wp lane-padded to 128, the
         # (seg, nsel_pad) lane-padded child staging, plus — on the
@@ -656,12 +699,17 @@ def basis_change_packed(
         # ≤7,424 steps runs fine (benchmarks/basis_t0_probe*.py
         # bisection).  Positions are computed from the table rows
         # (absolute multisets), so slicing the child-column axis into
-        # windows is exact; outputs are reassembled npar-major.
+        # windows is exact.  Window tables are sliced HOST-side and
+        # uploaded once each (~46 MB at the rank-6 root — device-side
+        # slices of a 460 MB resident table are in the suspect set),
+        # and outputs assemble into a donated buffer via
+        # dynamic_update_slice (no 10-operand concat transient).
         max_segs = _env_int("SYMTENSOR_BASIS_MAX_SEGS", 6000)
         nseg_tot = -(-n_k // seg)
         piece_lens = tuple(int(p.shape[0]) for p in blk.U)
         mesh_axis = None if mesh is None else (mesh, tp_axis)
         if nseg_tot > max_segs and n_k > 1:
+            tbl_arg = insert_map_host(k, onthefly)
             nwin = -(-nseg_tot // max_segs)
             cols_raw = -(-n_k // nwin)
             win_cols = -(-cols_raw // seg) * seg  # multiple of seg
@@ -677,21 +725,27 @@ def basis_change_packed(
                 for c0, c1 in bounds
             ]
 
-            def kern(rows_pieces, tbl_full, Wm, b_lo, bs, st_, ct_,
+            def kern(rows_pieces, tbl_host, Wm, b_lo, bs, st_, ct_,
                      _bounds=tuple(bounds), _kerns=tuple(kerns)):
-                outs = []
+                buf = jnp.zeros((Rc * n_k,), dtype=store_dt)
                 for (c0, c1), kw in zip(_bounds, _kerns):
-                    tslice = (
-                        tbl_full[c0 * k : c1 * k] if onthefly
-                        else tbl_full[c0:c1]
+                    key = (t, k, c0, c1)
+                    if key not in _win_tbls:
+                        _win_tbls[key] = jnp.asarray(
+                            tbl_host[c0 * k : c1 * k] if onthefly
+                            else tbl_host[c0:c1]
+                        )
+                    w_out = kw(
+                        rows_pieces, _win_tbls[key], Wm, b_lo, bs, st_, ct_
                     )
-                    w_out = kw(rows_pieces, tslice, Wm, b_lo, bs, st_, ct_)
                     if _fence_every() == 1:
                         float(w_out[0])
-                    outs.append(w_out)
-                nkws = tuple(c1 - c0 for c0, c1 in _bounds)
-                return _combine_windows(Rc, nkws, str(store_dt))(*outs)
+                    buf = _dus_combine(
+                        Rc, n_k, c1 - c0, str(store_dt)
+                    )(buf, w_out, jnp.int32(c0))
+                return buf
         else:
+            tbl_arg, _ = insert_map(k)
             kern = _step_kernel(
                 blk.npar, piece_lens, n_k, d, k, wp, Rc, seg,
                 str(store_dt), str(acc_dt), onthefly, mesh_axis,

@@ -454,10 +454,10 @@ class Tables:
 
         return self._memo("colex_perm", build)
 
-    def insert_table(self, k: int) -> jnp.ndarray:
-        """(N_k, dim) int32 — position in the rank-(k+1) layout of
-        sort(J ∪ {i}) for every size-k multiset J (storage order) and every
-        value i. The gather map of single-index contraction steps."""
+    def insert_table_np(self, k: int) -> np.ndarray:
+        """Host-side `insert_table` (int32 NumPy) — memoized.  Used by the
+        basis-change column windowing to upload per-window slices instead
+        of slicing a large resident device table."""
 
         def build():
             tk = tables(k, self.dim)
@@ -469,7 +469,7 @@ class Tables:
 
                 nat = native.insert_table(rep, k, d)
                 if nat is not None:
-                    return _i32(nat)
+                    return np.asarray(nat, dtype=np.int32)
             out = np.empty((tk.n, d), dtype=np.int64)
             tk1 = tables(k + 1, self.dim)
             cols = np.empty((tk.n, k + 1), dtype=np.int64)
@@ -481,9 +481,15 @@ class Tables:
                     out[:, i] = srt[:, 0]
                 else:
                     out[:, i] = tk1.layout.position_array(srt)
-            return _i32(out)
+            return out.astype(np.int32)
 
-        return self._memo(("insert", k), build)
+        return self._memo(("insert_np", k), build)
+
+    def insert_table(self, k: int) -> jnp.ndarray:
+        """(N_k, dim) int32 — position in the rank-(k+1) layout of
+        sort(J ∪ {i}) for every size-k multiset J (storage order) and every
+        value i. The gather map of single-index contraction steps."""
+        return self._memo(("insert", k), lambda: _i32(self.insert_table_np(k)))
 
     @property
     def tri_pairs(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
