@@ -120,6 +120,20 @@ def main():
         onthefly_above=250_000_000,
     )
 
+    # In the bf16 (big-n) regime, A + its 2-piece gather split + output +
+    # level blocks don't all fit 16 GB HBM: evaluate the identity RHS up
+    # front, then let the basis change free A's buffer after the split
+    # (observed OOM uploading a 17 MB table at level 1 otherwise)
+    donate = sdt == jnp.bfloat16 and not fake
+    x = rhs = None
+    if donate:
+        x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
+        rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
+        kw["donate_root"] = True
+        os.environ.setdefault("SYMTENSOR_FLAGSHIP_PASSES", "1")
+        print("big-n mode: RHS evaluated up front, root donated, 1 pass",
+              flush=True)
+
     t0 = time.time()
     C = basis_change_packed(A, W, **kw)
     fence(C.data[:1])
@@ -129,7 +143,8 @@ def main():
 
     # pass 2 isolates compile time but doubles chip time — skippable for
     # the multi-hour flagship size (SYMTENSOR_FLAGSHIP_PASSES=1)
-    if int(os.environ.get("SYMTENSOR_FLAGSHIP_PASSES", "2")) >= 2:
+    if (not donate
+            and int(os.environ.get("SYMTENSOR_FLAGSHIP_PASSES", "2")) >= 2):
         C = None  # free pass-1 output: holding it OOMed the f32 rank-5 run
         t0 = time.time()
         C = basis_change_packed(A, W, **kw)
@@ -141,9 +156,11 @@ def main():
     if fake:
         print("fake fill: skipping identity check", flush=True)
         return
-    x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
+    if x is None:
+        x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
     lhs = float(symalg.contract_all_indices_with_vector(C, x))
-    rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
+    if rhs is None:
+        rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
     rel = abs(lhs - rhs) / max(abs(rhs), 1e-30)
     print(f"identity C·x^r vs A·(Wx)^r: lhs={lhs:.6g} rhs={rhs:.6g} "
           f"rel={rel:.3e}", flush=True)

@@ -435,6 +435,7 @@ def basis_change_packed(
     store_dtype=None,
     acc_dtype=None,
     onthefly_above: Optional[int] = None,
+    donate_root: bool = False,
     mesh=None,
     tp_axis: str = "tp",
 ) -> FlatSymmetricTensor:
@@ -448,6 +449,11 @@ def basis_change_packed(
       pass bfloat16 to halve residency at large sizes);
     acc_dtype: einsum accumulation dtype (default float32, or float64
       when the data is float64).
+    donate_root: free A's device buffer once the root has been split
+      into gather pieces (only happens when A.data exceeds
+      $SYMTENSOR_GATHER_MAX_BYTES, where the split is a full copy).
+      INVALIDATES the caller's tensor — at rank-6 dim-100 bf16 this
+      returns 3.2 GB of HBM that the recursion otherwise cannot use.
     mesh/tp_axis: optional jax.sharding.Mesh — level blocks are sharded
       over their (wide) original-multiset column axis on `tp_axis`; the
       block budget then scales with the axis size.  Each step re-gathers
@@ -738,7 +744,11 @@ def basis_change_packed(
                     w_out = kw(
                         rows_pieces, _win_tbls[key], Wm, b_lo, bs, st_, ct_
                     )
-                    if _fence_every() == 1:
+                    # ALWAYS fence between windows: async dispatch would
+                    # otherwise allocate every window's output + kernel
+                    # workspace at once (~2 GB extra at the rank-6 root
+                    # — observed OOM), for a ~31 ms readback each
+                    if not isinstance(w_out, jax.core.Tracer):
                         float(w_out[0])
                     buf = _dus_combine(
                         Rc, n_k, c1 - c0, str(store_dt)
@@ -793,6 +803,14 @@ def basis_change_packed(
             root_vals[p * L : min((p + 1) * L, root_vals.size)]
             for p in range(npieces)
         )
+        if donate_root and not isinstance(root_vals, jax.core.Tracer):
+            # the slices above are real copies; the undivided buffer (and
+            # A.data, which it aliases when no cast happened) is dead
+            # weight for the rest of the recursion.  Scalar readback is
+            # the only reliable fence through the axon tunnel.
+            for p in pieces:
+                float(p[-1])
+            jnp.asarray(root_vals).delete()
     else:
         pieces = (root_vals,)
     root = _Block(

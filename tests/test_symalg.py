@@ -624,3 +624,24 @@ def test_outer_integer_dtype(rng):
     out = symalg.multiply.outer(A, A)
     dense = np.multiply.outer(np.arange(1, 5), np.arange(1, 5))
     np.testing.assert_allclose(np.asarray(out.todense()), dense, atol=1e-6)
+
+
+def test_basis_change_donate_root(rng, monkeypatch):
+    """donate_root frees the undivided root buffer after the gather split
+    (the rank-6 bf16 flagship needs the 3.2 GB back) without changing
+    the result."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    # force the root split at toy size
+    monkeypatch.setenv("SYMTENSOR_GATHER_MAX_BYTES", "512")
+    dense = random_sym(4, 6, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = jnp.asarray(rng.normal(size=(6, 6)))
+    want = basis_change_packed(A, W)
+    A2 = st.FlatSymmetricTensor._raw(4, 6, A.data + 0)
+    got = basis_change_packed(A2, W, donate_root=True)
+    np.testing.assert_allclose(
+        np.asarray(got.data), np.asarray(want.data), atol=1e-9
+    )
+    with pytest.raises(RuntimeError):
+        np.asarray(A2.data[:1])
