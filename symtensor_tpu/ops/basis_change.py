@@ -294,6 +294,9 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 G, Wc,
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dt,
+                # one-pass MXU rounds f32 operands to bf16; the steps are
+                # gather-bound, so f32-proper 3-pass matmuls are ~free
+                precision=jax.lax.Precision.HIGHEST,
             )  # (npar, seg, wp)
             # select (par, b) children. Tiny DMA descriptors issue at
             # only ~0.5M/s on this chip, so the form matters:
@@ -449,9 +452,12 @@ def basis_change_packed(
       pass bfloat16 to halve residency at large sizes);
     acc_dtype: einsum accumulation dtype (default float32, or float64
       when the data is float64).
-    donate_root: free A's device buffer once the root has been split
-      into gather pieces (only happens when A.data exceeds
-      $SYMTENSOR_GATHER_MAX_BYTES, where the split is a full copy).
+    donate_root: free A's device buffer as soon as the recursion no
+      longer needs it — on the generic path, once the root has been
+      split into gather pieces (only happens when A.data exceeds
+      $SYMTENSOR_GATHER_MAX_BYTES, where the split is a full copy); on
+      the case-decomposed root-kernel path (SYMTENSOR_BASIS_ROOT=1,
+      default for rank ≥ 4), after the last root window has executed.
       INVALIDATES the caller's tensor — at rank-6 dim-100 bf16 this
       returns 3.2 GB of HBM that the recursion otherwise cannot use.
     mesh/tp_axis: optional jax.sharding.Mesh — level blocks are sharded
@@ -686,6 +692,47 @@ def basis_change_packed(
         npar_pad = blk.npar
         Rc = R[child_level]
         wp = w_pad[child_level]
+        if t == 0 and use_root_kernel:
+            # Case-decomposed root pass (ops/basis_root.py): every read is
+            # a contiguous slice or the fast axis-1 gather — replaces the
+            # measured ~10-27M el/s element-gather floor of the one-row
+            # step (9.2e9 incidences per window at rank-6 dim-100).
+            from .basis_root import root_pass_kernel, root_tables_jnp
+
+            rk = root_pass_kernel(
+                k, d, Rc, str(store_dt), str(acc_dt),
+                tile_elems=transient_elems,
+            )
+            IH_J = root_tables_jnp(k, d)
+            for b_lo in range(0, d_out, Rc):
+                b_hi = min(b_lo + Rc, d_out)
+                child_U = rk(blk.U[0], Wdev, jnp.int32(b_lo), *IH_J)
+                # fence each window: async dispatch would queue every
+                # window's gather workspace at once
+                if not isinstance(child_U, jax.core.Tracer):
+                    float(child_U[0])
+                if verbose:
+                    import sys
+                    import time as _time
+
+                    print(
+                        f"[basis {_time.time()-stats['t0']:8.1f}s] root "
+                        f"window b=[{b_lo},{b_hi})",
+                        file=sys.stderr, flush=True,
+                    )
+                stats["chunks"] += 1
+                nsel = b_hi - b_lo
+                sel_b = np.arange(b_lo, b_hi, dtype=np.int64)
+                child = _Block(
+                    (child_U,), sel_b,
+                    sel_b[:, None].astype(np.int32), nsel, Rc, n_k,
+                )
+                process(child_level, child)
+            if donate_root and not isinstance(blk.U[0], jax.core.Tracer):
+                # all windows are fenced above, so the root buffer (and
+                # A.data, which it aliases when no cast happened) is dead
+                jnp.asarray(blk.U[0]).delete()
+            return
         # predict the insert-map form WITHOUT building it (the windowed
         # path wants host tables, never a full-size device upload)
         onthefly = n_k * d > fly_limit
@@ -714,9 +761,21 @@ def basis_change_packed(
         nseg_tot = -(-n_k // seg)
         piece_lens = tuple(int(p.shape[0]) for p in blk.U)
         mesh_axis = None if mesh is None else (mesh, tp_axis)
-        if nseg_tot > max_segs and n_k > 1:
+        # Window by table BYTES as well: the surviving rank-6 fault
+        # correlate is the map-operand table size (every crash ≥450 MB,
+        # every pass ≤~60 MB; the r6b run then crashed somewhere past a
+        # fully-windowed root with a 70 MB materialized t=2 table in the
+        # dispatch queue).  Keep every per-program table under the budget.
+        max_tbl = _env_int("SYMTENSOR_BASIS_MAX_TBL_BYTES", 48_000_000)
+        if onthefly:
+            it = 1 if d <= 127 else 2 if d <= 32767 else 4
+            tbl_bytes = n_k * k * it
+        else:
+            tbl_bytes = n_k * d * 4
+        nwin_req = max(-(-nseg_tot // max_segs), -(-tbl_bytes // max_tbl))
+        if nwin_req > 1 and n_k > 1:
             tbl_arg = insert_map_host(k, onthefly)
-            nwin = -(-nseg_tot // max_segs)
+            nwin = nwin_req
             cols_raw = -(-n_k // nwin)
             win_cols = -(-cols_raw // seg) * seg  # multiple of seg
             bounds = [
@@ -792,10 +851,19 @@ def basis_change_packed(
 
     # Split the root leaf into pieces under the gather-operand byte limit
     # (oversized gather sources crash the TPU worker); a single piece means
-    # the tensor's own leaf is used with no copy.
+    # the tensor's own leaf is used with no copy.  The case-decomposed root
+    # kernel never gathers the full buffer (per-group slices only), so it
+    # keeps the root whole.
+    use_root_kernel = (
+        r >= 4
+        and mesh is None
+        and os.environ.get("SYMTENSOR_BASIS_ROOT", "1") not in ("", "0")
+    )
     root_vals = A.data.astype(store_dt)
     gmax = _env_int("SYMTENSOR_GATHER_MAX_BYTES", (1 << 31) - (1 << 27))
     nbytes = root_vals.size * root_vals.dtype.itemsize
+    if use_root_kernel:
+        nbytes = 0  # keep whole
     if nbytes > gmax:
         npieces = -(-nbytes // gmax)
         L = -(-root_vals.size // npieces)

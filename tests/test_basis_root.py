@@ -1,0 +1,85 @@
+"""Exactness of the case-decomposed root-pass kernel (ops/basis_root.py).
+
+The kernel decomposes the t = 0 basis-change gather by the gflat insert
+cases (i ≥ g merged A+B+C bundle contraction; i < g case-D transposed
+gather) — these tests prove it against the direct insert-position oracle
+and against the generic step path, over ranks 4-6 and rectangular W.
+
+Reference semantics: symalg.contract_all_indices_with_matrix
+(/root/reference/symtensor/symalg.py:475-496).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import symtensor_tpu as st
+from symtensor_tpu.ops import basis_root as br
+from symtensor_tpu.ops.basis_change import basis_change_packed
+from symtensor_tpu.utils import combinatorics as comb
+
+
+@pytest.mark.parametrize(
+    "k,d", [(3, 4), (3, 7), (4, 5), (4, 8), (5, 6), (6, 5)]
+)
+def test_root_kernel_vs_oracle(k, d):
+    rng = np.random.default_rng(k * 31 + d)
+    A = rng.normal(size=(comb.indep_size(k + 1, d),))
+    d_out = d + 2
+    W = rng.normal(size=(d, d_out))
+    npar, b_lo = 3, 2
+    Wp = np.concatenate([W, np.zeros((d, 8))], axis=1)
+    kern = br.root_pass_kernel(k, d, npar, "float64", "float64")
+    IH, J = br.root_tables_jnp(k, d)
+    got = np.asarray(
+        kern(jnp.asarray(A), jnp.asarray(Wp), jnp.int32(b_lo), IH, J)
+    ).reshape(npar, -1)
+    want = br.root_pass_oracle(A, W, k, d, b_lo, npar)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
+
+
+def test_root_kernel_tiling_invariance():
+    """Tail-triangle tiling must not change results."""
+    k, d, npar = 4, 7, 4
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(comb.indep_size(k + 1, d),)))
+    Wp = jnp.asarray(rng.normal(size=(d, npar + 4)))
+    IH, J = br.root_tables_jnp(k, d)
+    big = br.root_pass_kernel(k, d, npar, "float64", "float64")
+    small = br.root_pass_kernel(
+        k, d, npar, "float64", "float64", tile_elems=64
+    )
+    a = np.asarray(big(A, Wp, jnp.int32(0), IH, J))
+    b = np.asarray(small(A, Wp, jnp.int32(0), IH, J))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("r,d,d_out", [(4, 6, 6), (5, 5, 7), (4, 9, 5)])
+def test_basis_change_root_path_matches_generic(r, d, d_out):
+    """basis_change_packed with the root kernel ≡ the generic step path."""
+    rng = np.random.default_rng(r + d)
+    n = comb.indep_size(r, d)
+    A = st.FlatSymmetricTensor._raw(
+        r, d, jnp.asarray(rng.normal(size=(n,)))
+    )
+    W = jnp.asarray(rng.normal(size=(d, d_out)))
+    old_env = os.environ.get("SYMTENSOR_BASIS_ROOT")
+    try:
+        os.environ["SYMTENSOR_BASIS_ROOT"] = "0"
+        C_old = basis_change_packed(
+            A, W, block_elems=5000, transient_elems=4096
+        )
+        os.environ["SYMTENSOR_BASIS_ROOT"] = "1"
+        C_new = basis_change_packed(
+            A, W, block_elems=5000, transient_elems=4096
+        )
+    finally:
+        if old_env is None:
+            os.environ.pop("SYMTENSOR_BASIS_ROOT", None)
+        else:
+            os.environ["SYMTENSOR_BASIS_ROOT"] = old_env
+    np.testing.assert_allclose(
+        np.asarray(C_old.data), np.asarray(C_new.data), rtol=0, atol=1e-11
+    )

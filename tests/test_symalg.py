@@ -632,16 +632,19 @@ def test_basis_change_donate_root(rng, monkeypatch):
     the result."""
     from symtensor_tpu.ops.basis_change import basis_change_packed
 
-    # force the root split at toy size
+    # force the root split at toy size (generic path: split pieces
+    # replace the root; root-kernel path: freed after the last window)
     monkeypatch.setenv("SYMTENSOR_GATHER_MAX_BYTES", "512")
     dense = random_sym(4, 6, rng)
     A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
     W = jnp.asarray(rng.normal(size=(6, 6)))
     want = basis_change_packed(A, W)
-    A2 = st.FlatSymmetricTensor._raw(4, 6, A.data + 0)
-    got = basis_change_packed(A2, W, donate_root=True)
-    np.testing.assert_allclose(
-        np.asarray(got.data), np.asarray(want.data), atol=1e-9
-    )
-    with pytest.raises(RuntimeError):
-        np.asarray(A2.data[:1])
+    for root_env in ("0", "1"):
+        monkeypatch.setenv("SYMTENSOR_BASIS_ROOT", root_env)
+        A2 = st.FlatSymmetricTensor._raw(4, 6, A.data + 0)
+        got = basis_change_packed(A2, W, donate_root=True)
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(want.data), atol=1e-9
+        )
+        with pytest.raises(RuntimeError):
+            np.asarray(A2.data[:1])
