@@ -711,6 +711,11 @@ def basis_change_packed(
                 # window's gather workspace at once
                 if not isinstance(child_U, jax.core.Tracer):
                     float(child_U[0])
+                    if donate_root and b_hi >= d_out:
+                        # last window fenced: the root buffer (and A.data,
+                        # which it aliases when no cast happened) is dead —
+                        # free it BEFORE the final subtree's recursion
+                        jnp.asarray(blk.U[0]).delete()
                 if verbose:
                     import sys
                     import time as _time
@@ -728,10 +733,6 @@ def basis_change_packed(
                     sel_b[:, None].astype(np.int32), nsel, Rc, n_k,
                 )
                 process(child_level, child)
-            if donate_root and not isinstance(blk.U[0], jax.core.Tracer):
-                # all windows are fenced above, so the root buffer (and
-                # A.data, which it aliases when no cast happened) is dead
-                jnp.asarray(blk.U[0]).delete()
             return
         # predict the insert-map form WITHOUT building it (the windowed
         # path wants host tables, never a full-size device upload)
