@@ -697,16 +697,49 @@ def basis_change_packed(
             # a contiguous slice or the fast axis-1 gather — replaces the
             # measured ~10-27M el/s element-gather floor of the one-row
             # step (9.2e9 incidences per window at rank-6 dim-100).
-            from .basis_root import root_pass_kernel, root_tables_jnp
-
-            rk = root_pass_kernel(
-                k, d, Rc, str(store_dt), str(acc_dt),
-                tile_elems=transient_elems,
+            from .basis_root import (
+                chunk_cols,
+                g_chunks,
+                root_dus,
+                root_pass_kernel,
+                root_tables_jnp,
             )
+
+            # Chunk the host-unrolled g-loop into several programs: the
+            # monolithic d-group program at rank-6 dim-100 was SIGKILLed
+            # inside the terminal's AOT compile helper (program op count
+            # ~Σ(d−g) slice ops drives compile memory/time); ~9 programs
+            # at d = 100 under the default per-program budget.
+            budget = _env_int("SYMTENSOR_BASIS_ROOT_SLICES", 600)
+            chunks = g_chunks(d, budget)
+            rks = [
+                root_pass_kernel(
+                    k, d, Rc, str(store_dt), str(acc_dt),
+                    tile_elems=transient_elems, g0=c0, g1=c1,
+                )
+                for c0, c1 in chunks
+            ]
+            ccols = [chunk_cols(k, d, c0, c1) for c0, c1 in chunks]
             IH_J = root_tables_jnp(k, d)
             for b_lo in range(0, d_out, Rc):
                 b_hi = min(b_lo + Rc, d_out)
-                child_U = rk(blk.U[0], Wdev, jnp.int32(b_lo), *IH_J)
+                if len(chunks) == 1:
+                    child_U = rks[0](blk.U[0], Wdev, jnp.int32(b_lo), *IH_J)
+                else:
+                    child_U = jnp.zeros((Rc * n_k,), dtype=store_dt)
+                    col = 0
+                    for rk_c, nc in zip(rks, ccols):
+                        piece = rk_c(
+                            blk.U[0], Wdev, jnp.int32(b_lo), *IH_J
+                        )
+                        child_U = root_dus(Rc, n_k, nc, str(store_dt))(
+                            child_U, piece, col
+                        )
+                        col += nc
+                        # fence each piece: async dispatch would queue
+                        # every chunk's gather workspace at once
+                        if not isinstance(child_U, jax.core.Tracer):
+                            float(child_U[0])
                 # fence each window: async dispatch would queue every
                 # window's gather workspace at once
                 if not isinstance(child_U, jax.core.Tracer):

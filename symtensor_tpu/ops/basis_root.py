@@ -125,10 +125,62 @@ def _plan(k: int, d: int):
     return kh, lay_c, lay_p, T, S
 
 
+def g_chunks(d: int, budget: int):
+    """Contiguous child-group ranges with Σ_{g∈range}(d−g) ≤ budget.
+
+    Each range compiles as its own jitted program: the bundle build for
+    group g emits (d−g) slice ops, and the monolithic d-group program at
+    the rank-6 flagship was SIGKILLed inside the AOT compile helper
+    (compile memory/time scales with program op count).  ~9 programs at
+    d = 100 with the default budget."""
+    chunks = []
+    g0, acc = 0, 0
+    for g in range(d):
+        c = d - g
+        if acc and acc + c > budget:
+            chunks.append((g0, g))
+            g0, acc = g, 0
+        acc += c
+    chunks.append((g0, d))
+    return chunks
+
+
+def chunk_cols(k: int, d: int, g0: int, g1: int) -> int:
+    """Child columns produced by groups [g0, g1): Σ nh_g·T_g."""
+    kh = k - 3
+    tot = 0
+    for g in range(g0, g1):
+        tot += int(comb.multiset_count(g + 1, kh)) * int(
+            comb.tri_size(d - g)
+        )
+    return tot
+
+
+@lru_cache(maxsize=None)
+def root_dus(npar: int, n_k: int, cols: int, store_dt: str):
+    """Donated DUS of a (npar, cols) piece into the (npar, n_k) child
+    view at a traced column offset — assembles chunked root-pass pieces
+    without a multi-GB concat transient."""
+    store = jnp.dtype(store_dt)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def put(buf, piece, c0):
+        b2 = buf.reshape(npar, n_k)
+        p2 = piece.reshape(npar, cols).astype(store)
+        out = jax.lax.dynamic_update_slice(
+            b2, p2, (jnp.int32(0), jnp.asarray(c0, jnp.int32))
+        )
+        return out.reshape(-1)
+
+    return put
+
+
 @lru_cache(maxsize=None)
 def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
-                     tile_elems: int = 200_000_000):
-    """Jitted (A_flat, W_padded, b_lo, IH, J) → child flat (npar·N_k,).
+                     tile_elems: int = 200_000_000,
+                     g0: int = 0, g1: int | None = None):
+    """Jitted (A_flat, W_padded, b_lo, IH, J) → child flat (npar·cols,)
+    for child groups g ∈ [g0, g1) (full child when g0 = 0, g1 = None).
 
     A_flat: parent level (N_{k+1},); W_padded: (d, ≥ b_lo+npar) —
     b_lo is traced, everything else static.  Output is npar-major, the
@@ -139,6 +191,8 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
     store = jnp.dtype(store_dt)
     acc = jnp.dtype(acc_dt)
     T0 = int(comb.tri_size(d))
+    if g1 is None:
+        g1 = d
 
     def kern(A, Wp, b_lo, IH, J):
         b_lo = jnp.asarray(b_lo, jnp.int32)
@@ -146,7 +200,7 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
             Wp, (jnp.int32(0), b_lo), (d, npar)
         ).astype(acc)  # (d, npar)
         pieces = []
-        for g in range(d):
+        for g in range(g0, g1):
             n = d - g
             T = int(T_arr[g])
             nh = int(comb.multiset_count(g + 1, kh))
@@ -215,7 +269,9 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
             pieces.append(
                 jnp.transpose(out_g, (2, 0, 1)).reshape(npar, nh * T)
             )
-        child = jnp.concatenate(pieces, axis=1).astype(store)  # (npar, N_k)
+        # (npar, Σ_{g∈[g0,g1)} nh_g·T_g) — the full (npar, N_k) child
+        # when the range covers all d groups
+        child = jnp.concatenate(pieces, axis=1).astype(store)
         return child.reshape(-1)
 
     return jax.jit(kern)

@@ -83,3 +83,53 @@ def test_basis_change_root_path_matches_generic(r, d, d_out):
     np.testing.assert_allclose(
         np.asarray(C_old.data), np.asarray(C_new.data), rtol=0, atol=1e-11
     )
+
+
+def test_root_kernel_chunked_matches_monolithic():
+    """g-chunked programs assembled piecewise ≡ the single-program kernel
+    (the chunking exists because the monolithic d-group program SIGKILLed
+    the AOT compile helper at the rank-6 flagship)."""
+    k, d, npar = 4, 8, 3
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(comb.indep_size(k + 1, d),)))
+    Wp = jnp.asarray(rng.normal(size=(d, npar + 4)))
+    IH, J = br.root_tables_jnp(k, d)
+    mono = br.root_pass_kernel(k, d, npar, "float64", "float64")
+    want = np.asarray(mono(A, Wp, jnp.int32(1), IH, J))
+    chunks = br.g_chunks(d, 10)
+    assert len(chunks) > 2
+    assert [c0 for c0, _ in chunks][0] == 0 and chunks[-1][1] == d
+    n_k = comb.indep_size(k, d)
+    buf = jnp.zeros((npar * n_k,), jnp.float64)
+    col = 0
+    for c0, c1 in chunks:
+        kern = br.root_pass_kernel(
+            k, d, npar, "float64", "float64", g0=c0, g1=c1
+        )
+        piece = kern(A, Wp, jnp.int32(1), IH, J)
+        nc = br.chunk_cols(k, d, c0, c1)
+        assert piece.size == npar * nc
+        buf = br.root_dus(npar, n_k, nc, "float64")(buf, piece, col)
+        col += nc
+    assert col == n_k
+    np.testing.assert_allclose(np.asarray(buf), want, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("r,d,d_out", [(4, 7, 6), (5, 5, 6)])
+def test_basis_change_chunked_root_matches_generic(r, d, d_out, monkeypatch):
+    """Full basis change with a tiny per-program slice budget (forcing
+    many root chunks) ≡ the generic step path."""
+    rng = np.random.default_rng(2 * r + d)
+    n = comb.indep_size(r, d)
+    A = st.FlatSymmetricTensor._raw(
+        r, d, jnp.asarray(rng.normal(size=(n,)))
+    )
+    W = jnp.asarray(rng.normal(size=(d, d_out)))
+    monkeypatch.setenv("SYMTENSOR_BASIS_ROOT", "0")
+    C_old = basis_change_packed(A, W, block_elems=5000, transient_elems=4096)
+    monkeypatch.setenv("SYMTENSOR_BASIS_ROOT", "1")
+    monkeypatch.setenv("SYMTENSOR_BASIS_ROOT_SLICES", "9")
+    C_new = basis_change_packed(A, W, block_elems=5000, transient_elems=4096)
+    np.testing.assert_allclose(
+        np.asarray(C_old.data), np.asarray(C_new.data), rtol=0, atol=1e-11
+    )
