@@ -457,7 +457,8 @@ def basis_change_packed(
       split into gather pieces (only happens when A.data exceeds
       $SYMTENSOR_GATHER_MAX_BYTES, where the split is a full copy); on
       the case-decomposed root-kernel path (SYMTENSOR_BASIS_ROOT=1,
-      default for rank ≥ 4), after the last root window has executed.
+      default for rank ≥ 4), right after the per-group block split,
+      before any root window runs.
       INVALIDATES the caller's tensor — at rank-6 dim-100 bf16 this
       returns 3.2 GB of HBM that the recursion otherwise cannot use.
     mesh/tp_axis: optional jax.sharding.Mesh — level blocks are sharded
@@ -703,6 +704,7 @@ def basis_change_packed(
                 root_dus,
                 root_pass_kernel,
                 root_tables_jnp,
+                split_root_groups,
             )
 
             # Chunk the host-unrolled g-loop into several programs: the
@@ -721,16 +723,31 @@ def basis_change_packed(
             ]
             ccols = [chunk_cols(k, d, c0, c1) for c0, c1 in chunks]
             IH_J = root_tables_jnp(k, d)
+            # Split the flat root into per-group 2-D blocks ONCE (one
+            # extra root-sized copy): feeding the flat buffer to the
+            # window kernels made XLA retile it (N/10, 10) — a 12.8×
+            # lane-padding blowup, 41 GB at the rank-6 flagship (see
+            # basis_root module docstring).  After the split the flat
+            # root is dead weight; with donate_root it is freed here,
+            # BEFORE any window runs, not after the last one.
+            groups_dev = split_root_groups(blk.U[0], k, d)
+            traced = isinstance(groups_dev[-1], jax.core.Tracer)
+            if donate_root and not traced:
+                float(groups_dev[-1][0, 0])  # fence the split chain
+                jnp.asarray(blk.U[0]).delete()
             for b_lo in range(0, d_out, Rc):
                 b_hi = min(b_lo + Rc, d_out)
                 if len(chunks) == 1:
-                    child_U = rks[0](blk.U[0], Wdev, jnp.int32(b_lo), *IH_J)
+                    child_U = rks[0](
+                        tuple(groups_dev), Wdev, jnp.int32(b_lo), *IH_J
+                    )
                 else:
                     child_U = jnp.zeros((Rc * n_k,), dtype=store_dt)
                     col = 0
-                    for rk_c, nc in zip(rks, ccols):
+                    for rk_c, nc, (c0, _c1) in zip(rks, ccols, chunks):
                         piece = rk_c(
-                            blk.U[0], Wdev, jnp.int32(b_lo), *IH_J
+                            tuple(groups_dev[c0:]), Wdev,
+                            jnp.int32(b_lo), *IH_J
                         )
                         child_U = root_dus(Rc, n_k, nc, str(store_dt))(
                             child_U, piece, col
@@ -744,11 +761,12 @@ def basis_change_packed(
                 # window's gather workspace at once
                 if not isinstance(child_U, jax.core.Tracer):
                     float(child_U[0])
-                    if donate_root and b_hi >= d_out:
-                        # last window fenced: the root buffer (and A.data,
-                        # which it aliases when no cast happened) is dead —
-                        # free it BEFORE the final subtree's recursion
-                        jnp.asarray(blk.U[0]).delete()
+                    if b_hi >= d_out:
+                        # last window fenced: the group blocks are dead —
+                        # free them BEFORE the final subtree's recursion
+                        for gb in groups_dev:
+                            jnp.asarray(gb).delete()
+                        groups_dev.clear()
                 if verbose:
                     import sys
                     import time as _time

@@ -44,6 +44,18 @@ host-unrolled loop over the d child groups (static shapes per g — no
 lax.map, no large device tables, none of the big-map-operand structures
 implicated in the rank-6 TPU worker faults).
 
+The parent arrives as PER-GROUP 2-D blocks (nhp_G, T_G), split once by
+`split_root_groups`, NOT as one flat (N_{k+1},) array: XLA's TPU layout
+assignment reacts to many `reshape(slice(param), (nh, T_G))` consumers
+by retiling the whole 1-D parameter to (N/10, 10), whose 10→128 lane
+padding is a 12.8× memory blowup — 41 GB for the 3.2 GB rank-6 dim-100
+flagship parent, an AOT compile-time OOM (bisected: 99 slice+reshapes
+trigger it, 3 don't, optimization_barrier does not help).  With 2-D
+block params every access is a natural row slice or transpose; the same
+program then compiles with temp ≈ 0.13 GB.  The split itself must dodge
+the pattern too: one program of plain 1-D slices (safe), then one
+program reshaping each piece param to 2-D.
+
 Reference semantics: symalg.contract_all_indices_with_matrix
 (/root/reference/symtensor/symalg.py:475-496); the reference has no
 compressed-domain analog (it densifies to d^r).
@@ -145,6 +157,59 @@ def g_chunks(d: int, budget: int):
     return chunks
 
 
+def group_shapes(k: int, d: int):
+    """(nhp_G, T_G) of the parent (rank k+1) gflat group blocks."""
+    kh = k - 3
+    T = ((d - np.arange(d)) * (d - np.arange(d) + 1) // 2).astype(np.int64)
+    return [
+        (int(comb.multiset_count(G + 1, kh + 1)), int(T[G]))
+        for G in range(d)
+    ]
+
+
+@lru_cache(maxsize=None)
+def _slice_groups_kernel(k: int, d: int, dt: str):
+    """One program: flat parent → tuple of 1-D group pieces (plain slices
+    only — reshaping them HERE would re-trigger the layout retile)."""
+    _, _, lay_p, T_arr, _ = _plan(k, d)
+    shapes = group_shapes(k, d)
+
+    def kern(A):
+        out = []
+        for G in range(d):
+            nhp, T = shapes[G]
+            off = int(lay_p.group_off[G])
+            out.append(jax.lax.slice(A, (off,), (off + nhp * T,)))
+        return tuple(out)
+
+    return jax.jit(kern)
+
+
+@lru_cache(maxsize=None)
+def _reshape_groups_kernel(k: int, d: int, dt: str):
+    """One program: tuple of 1-D group pieces → tuple of 2-D (nhp, T)
+    blocks (reshape-of-param is layout-safe; inputs are donated)."""
+    shapes = group_shapes(k, d)
+
+    def kern(*pieces):
+        return tuple(
+            p.reshape(shapes[G]) for G, p in enumerate(pieces)
+        )
+
+    return jax.jit(kern, donate_argnums=tuple(range(d)))
+
+
+def split_root_groups(A_flat, k: int, d: int):
+    """Split the flat parent level into per-group 2-D device blocks.
+
+    Costs one extra copy of the parent (two programs, the first's outputs
+    donated to the second); the caller may delete `A_flat` afterwards —
+    the blocks are independent buffers."""
+    dt = str(A_flat.dtype)
+    pieces = _slice_groups_kernel(k, d, dt)(A_flat)
+    return list(_reshape_groups_kernel(k, d, dt)(*pieces))
+
+
 def chunk_cols(k: int, d: int, g0: int, g1: int) -> int:
     """Child columns produced by groups [g0, g1): Σ nh_g·T_g."""
     kh = k - 3
@@ -179,12 +244,14 @@ def root_dus(npar: int, n_k: int, cols: int, store_dt: str):
 def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
                      tile_elems: int = 200_000_000,
                      g0: int = 0, g1: int | None = None):
-    """Jitted (A_flat, W_padded, b_lo, IH, J) → child flat (npar·cols,)
+    """Jitted (Bs, W_padded, b_lo, IH, J) → child flat (npar·cols,)
     for child groups g ∈ [g0, g1) (full child when g0 = 0, g1 = None).
 
-    A_flat: parent level (N_{k+1},); W_padded: (d, ≥ b_lo+npar) —
-    b_lo is traced, everything else static.  Output is npar-major, the
-    layout `basis_change._step_kernel` expects of a parent block.
+    Bs: tuple of the parent's 2-D group blocks for groups [g0, d)
+    (from `split_root_groups`, sliced `blocks[g0:]` by the caller);
+    W_padded: (d, ≥ b_lo+npar) — b_lo is traced, everything else
+    static.  Output is npar-major, the layout
+    `basis_change._step_kernel` expects of a parent block.
     `tile_elems` bounds the (nh, T, n) gather transient per g by tiling
     the tail-triangle axis."""
     kh, lay_c, lay_p, T_arr, S = _plan(k, d)
@@ -194,7 +261,7 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
     if g1 is None:
         g1 = d
 
-    def kern(A, Wp, b_lo, IH, J):
+    def kern(Bs, Wp, b_lo, IH, J):
         b_lo = jnp.asarray(b_lo, jnp.int32)
         Wc = jax.lax.dynamic_slice(
             Wp, (jnp.int32(0), b_lo), (d, npar)
@@ -204,15 +271,15 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
             n = d - g
             T = int(T_arr[g])
             nh = int(comb.multiset_count(g + 1, kh))
-            nhp = int(comb.multiset_count(g + 1, kh + 1))
             hpb = comb.binom(g + kh, kh + 1)
             # ---- cases A+B+C: inserts i ≥ g ----
+            # row bundle: rows [hpb, hpb+nh) of every group-G block,
+            # G ≥ g — plain 2-D row slices of the block params
             parts = []
             for G in range(g, d):
                 TG = int(T_arr[G])
-                off = int(lay_p.group_off[G]) + hpb * TG
                 parts.append(
-                    jax.lax.slice(A, (off,), (off + nh * TG,)).reshape(nh, TG)
+                    jax.lax.slice(Bs[G - g0], (hpb, 0), (hpb + nh, TG))
                 )
             P = jnp.concatenate(parts, axis=1)  # (nh, L_g)
             Jg = (
@@ -220,12 +287,7 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
             )  # (T, n)
             # ---- case D: inserts i < g (transposed group-g block) ----
             if g > 0:
-                off = int(lay_p.group_off[g])
-                Pg = (
-                    jax.lax.slice(A, (off,), (off + nhp * T,))
-                    .reshape(nhp, T)
-                    .T
-                )  # (T, nhp)
+                Pg = Bs[g - g0].T  # (T, nhp)
                 IHg = jax.lax.slice(IH, (0, 0), (nh, g))  # (nh, g)
             # tile the tail-triangle axis so the (nh, t, n) transient
             # stays bounded (≈340 MB f32 untiled at the rank-6 midpoint)

@@ -33,8 +33,9 @@ def test_root_kernel_vs_oracle(k, d):
     Wp = np.concatenate([W, np.zeros((d, 8))], axis=1)
     kern = br.root_pass_kernel(k, d, npar, "float64", "float64")
     IH, J = br.root_tables_jnp(k, d)
+    Bs = tuple(br.split_root_groups(jnp.asarray(A), k, d))
     got = np.asarray(
-        kern(jnp.asarray(A), jnp.asarray(Wp), jnp.int32(b_lo), IH, J)
+        kern(Bs, jnp.asarray(Wp), jnp.int32(b_lo), IH, J)
     ).reshape(npar, -1)
     want = br.root_pass_oracle(A, W, k, d, b_lo, npar)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-10)
@@ -51,8 +52,9 @@ def test_root_kernel_tiling_invariance():
     small = br.root_pass_kernel(
         k, d, npar, "float64", "float64", tile_elems=64
     )
-    a = np.asarray(big(A, Wp, jnp.int32(0), IH, J))
-    b = np.asarray(small(A, Wp, jnp.int32(0), IH, J))
+    Bs = tuple(br.split_root_groups(A, k, d))
+    a = np.asarray(big(Bs, Wp, jnp.int32(0), IH, J))
+    b = np.asarray(small(Bs, Wp, jnp.int32(0), IH, J))
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
 
@@ -95,7 +97,8 @@ def test_root_kernel_chunked_matches_monolithic():
     Wp = jnp.asarray(rng.normal(size=(d, npar + 4)))
     IH, J = br.root_tables_jnp(k, d)
     mono = br.root_pass_kernel(k, d, npar, "float64", "float64")
-    want = np.asarray(mono(A, Wp, jnp.int32(1), IH, J))
+    Bs = br.split_root_groups(A, k, d)
+    want = np.asarray(mono(tuple(Bs), Wp, jnp.int32(1), IH, J))
     chunks = br.g_chunks(d, 10)
     assert len(chunks) > 2
     assert [c0 for c0, _ in chunks][0] == 0 and chunks[-1][1] == d
@@ -106,7 +109,7 @@ def test_root_kernel_chunked_matches_monolithic():
         kern = br.root_pass_kernel(
             k, d, npar, "float64", "float64", g0=c0, g1=c1
         )
-        piece = kern(A, Wp, jnp.int32(1), IH, J)
+        piece = kern(tuple(Bs[c0:]), Wp, jnp.int32(1), IH, J)
         nc = br.chunk_cols(k, d, c0, c1)
         assert piece.size == npar * nc
         buf = br.root_dus(npar, n_k, nc, "float64")(buf, piece, col)
