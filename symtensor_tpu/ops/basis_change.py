@@ -429,6 +429,102 @@ def _row_budgets(r, d_out, widths, total_elems):
     return R
 
 
+# ---------------------------------------------------------------------------
+# small-size whole-op jitted route
+# ---------------------------------------------------------------------------
+
+_SMALL_JIT_CACHE: dict = {}
+
+
+def _small_peak_elems(r: int, d: int, d_out: int, transient: int) -> int:
+    """Projected peak element residency of the whole-op jitted route:
+    parent level + child level (×2 for the segment concatenate) + one
+    bounded gather transient."""
+    peak = 0
+    for t in range(r):
+        P_t = comb.multiset_count(d_out, t)
+        P_t1 = comb.multiset_count(d_out, t + 1)
+        N_par = comb.indep_size(r - t, d)
+        N_k = comb.indep_size(r - t - 1, d) if r - t - 1 >= 1 else 1
+        peak = max(peak, P_t * N_par + 2 * P_t1 * N_k)
+    return peak + transient
+
+
+def _basis_change_small(r, d, d_out, store_dt, acc_dt, budget):
+    """Whole-op jitted output-major basis change (round-1 production path,
+    retired when the blocked recursion landed; restored size-gated because
+    a single XLA program is ~9× faster warm at small/mid sizes — rank-4
+    dim-100: 209 ms vs 1.9 s eager — where its full-level intermediates
+    fit in memory).  Semantics: reference symalg.py:475-496."""
+    t_in = tables(r, d)
+    t_out = tables(r, d_out)
+
+    def run(data, W):
+        U = data.astype(acc_dt).reshape(1, -1)
+        Wc = W.astype(acc_dt)
+        for t in range(r):
+            k = r - t - 1
+            if k >= 1:
+                tbl = t_in.insert_table(k)  # (N_k, d)
+                N_k = int(tbl.shape[0])
+            else:
+                tbl = None
+                N_k = 1
+            par, mx = t_out.mono_tables(t + 1)  # colex level t+1 over d_out
+            # parents needed per max value b = colex prefix of length m_b
+            m = [comb.multiset_count(b + 1, t) for b in range(d_out)]
+            off = [comb.multiset_count(b, t + 1) for b in range(d_out + 1)]
+
+            # greedy b-chunks under the transient element budget
+            chunks = []
+            b0 = 0
+            while b0 < d_out:
+                b1 = b0 + 1
+                while b1 < d_out and m[b1] * N_k * (b1 + 1 - b0) <= budget:
+                    b1 += 1
+                chunks.append((b0, b1))
+                b0 = b1
+
+            def extend(U_pref, width, Wslice):
+                mm = U_pref.shape[0]
+                if k < 1:
+                    return jnp.einsum(
+                        "pji,ib->pjb", U_pref.reshape(mm, 1, d), Wslice
+                    )
+                CH = max(1, min(mm, budget // (N_k * d)))
+                if CH >= mm:
+                    return jnp.einsum("pji,ib->pjb", U_pref[:, tbl], Wslice)
+                nch = -(-mm // CH)
+                pad = nch * CH - mm
+                U_pad = (
+                    jnp.concatenate(
+                        [U_pref,
+                         jnp.zeros((pad, U_pref.shape[1]), U_pref.dtype)]
+                    )
+                    if pad
+                    else U_pref
+                )
+                return jax.lax.map(
+                    lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], Wslice),
+                    U_pad.reshape(nch, CH, -1),
+                ).reshape(nch * CH, N_k, width)[:mm]
+
+            segs = []
+            for b0, b1 in chunks:
+                mm = m[b1 - 1]
+                H = extend(U[:mm], b1 - b0, Wc[:, b0:b1])
+                o0, o1 = off[b0], off[b1]
+                seg_par = par[o0:o1]
+                seg_mx = mx[o0:o1] - b0
+                segs.append(H[seg_par, :, seg_mx])  # (o1-o0, N_k)
+            U = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
+
+        # U: (P_r, 1) in colex order of output multisets → gflat order
+        return U[:, 0][t_out.colex_perm].astype(store_dt)
+
+    return jax.jit(run)
+
+
 def basis_change_packed(
     A: FlatSymmetricTensor,
     W,
@@ -486,6 +582,37 @@ def basis_change_packed(
     if r == 1:
         out = A.data.astype(acc_dt) @ W.astype(acc_dt)
         return FlatSymmetricTensor._raw(1, d_out, out.astype(store_dt))
+
+    # Small/mid sizes: one whole-op XLA program beats the eager blocked
+    # recursion by ~9× warm (no per-chunk dispatch, fused levels).  Taken
+    # only on all-default invocations — explicit blocked-path tuning
+    # (block/transient budgets, onthefly, donate, mesh) keeps the blocked
+    # recursion, so tests and callers that select it get what they asked
+    # for.  Gate on projected peak residency;
+    # SYMTENSOR_BASIS_SMALL_ELEMS=0 disables.
+    small_elems = _env_int("SYMTENSOR_BASIS_SMALL_ELEMS", 2**28)
+    all_default = (
+        block_elems is None
+        and transient_elems is None
+        and onthefly_above is None
+        and not donate_root
+        and mesh is None
+        and "SYMTENSOR_BASIS_BLOCK_ELEMS" not in os.environ
+        and "SYMTENSOR_BASIS_TRANSIENT_ELEMS" not in os.environ
+    )
+    small_budget = 2**26
+    if (
+        all_default
+        and small_elems > 0
+        and _small_peak_elems(r, d, d_out, small_budget) <= small_elems
+    ):
+        key = (r, d, d_out, str(store_dt), str(acc_dt), small_budget)
+        fn = _SMALL_JIT_CACHE.get(key)
+        if fn is None:
+            fn = _SMALL_JIT_CACHE[key] = _basis_change_small(
+                r, d, d_out, store_dt, acc_dt, small_budget
+            )
+        return FlatSymmetricTensor._raw(r, d_out, fn(A.data, W))
 
     block_elems = block_elems or _env_int(
         "SYMTENSOR_BASIS_BLOCK_ELEMS", 2**27

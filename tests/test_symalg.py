@@ -404,6 +404,33 @@ def test_isclose_elementwise(rng):
     assert np.asarray(sc.data).dtype == bool
 
 
+def test_basis_change_small_route_matches_blocked(rng):
+    """Default (all-default args, no env tuning) invocations take the
+    whole-op jitted small route; explicit budgets take the blocked
+    recursion.  Both must agree with each other and the einsum oracle."""
+    from symtensor_tpu.ops.basis_change import (
+        _SMALL_JIT_CACHE,
+        _small_peak_elems,
+        basis_change_packed,
+    )
+
+    dense = random_sym(4, 7, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = jnp.asarray(rng.normal(size=(7, 6)))
+    assert _small_peak_elems(4, 7, 6, 2**26) <= 2**28  # routes small
+    n_cached = len(_SMALL_JIT_CACHE)
+    small = basis_change_packed(A, W)
+    assert len(_SMALL_JIT_CACHE) >= n_cached  # route taken (fn built/reused)
+    blocked = basis_change_packed(A, W, block_elems=5000, transient_elems=4096)
+    np.testing.assert_allclose(
+        np.asarray(small.data), np.asarray(blocked.data), atol=1e-10
+    )
+    oracle = np.einsum(
+        "abcd,ai,bj,ck,dl->ijkl", dense, *([np.asarray(W)] * 4)
+    )
+    np.testing.assert_allclose(np.asarray(small.todense()), oracle, atol=1e-9)
+
+
 def test_basis_change_chunked_matches(rng, monkeypatch):
     monkeypatch.setenv("SYMTENSOR_BASIS_BLOCK_ELEMS", "1024")
     monkeypatch.setenv("SYMTENSOR_BASIS_TRANSIENT_ELEMS", "2048")
