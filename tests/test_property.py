@@ -69,6 +69,83 @@ def test_colex_rank_unrank(rank, dim, seed):
     assert comb.colex_unrank(r, rank) == idx
 
 
+def _random_sym_dense(rank, dim, rng):
+    from symtensor_tpu.ops.symmetrize import symmetrize
+
+    return symmetrize(jnp.asarray(rng.normal(size=(dim,) * rank)))
+
+
+@given(
+    rank=st_.integers(2, 4),
+    dim=st_.integers(2, 5),
+    dim_out=st_.integers(1, 5),
+    seed=st_.integers(0, 2**31 - 1),
+)
+@settings(max_examples=10, deadline=None)
+def test_basis_change_oracle_fuzz(rank, dim, dim_out, seed):
+    """contract_all_indices_with_matrix vs the dense tensordot chain,
+    random shapes incl. rectangular W (reference symalg.py:475-496)."""
+    from symtensor_tpu import symalg
+
+    rng = np.random.default_rng(seed)
+    dense = _random_sym_dense(rank, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(dense)
+    W = jnp.asarray(rng.normal(size=(dim, dim_out)))
+    C = symalg.contract_all_indices_with_matrix(A, W)
+    oracle = dense
+    for _ in range(rank):
+        oracle = jnp.tensordot(oracle, W, axes=[[0], [0]])
+    np.testing.assert_allclose(
+        np.asarray(C.todense()), np.asarray(oracle), atol=1e-9
+    )
+
+
+@given(
+    rank=st_.integers(1, 5),
+    dim=st_.integers(1, 6),
+    seed=st_.integers(0, 2**31 - 1),
+)
+@settings(max_examples=10, deadline=None)
+def test_poly_eval_oracle_fuzz(rank, dim, seed):
+    """contract_all_indices_with_vector vs repeated dense tensordot."""
+    from symtensor_tpu import symalg
+
+    rng = np.random.default_rng(seed)
+    dense = _random_sym_dense(rank, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(dense)
+    x = jnp.asarray(rng.normal(size=dim))
+    got = float(symalg.contract_all_indices_with_vector(A, x))
+    oracle = dense
+    for _ in range(rank):
+        oracle = jnp.tensordot(oracle, x, axes=[[0], [0]])
+    np.testing.assert_allclose(got, float(oracle), rtol=1e-8, atol=1e-8)
+
+
+@given(
+    ra=st_.integers(1, 3),
+    rb=st_.integers(1, 3),
+    dim=st_.integers(2, 4),
+    seed=st_.integers(0, 2**31 - 1),
+)
+@settings(max_examples=8, deadline=None)
+def test_symmetric_outer_oracle_fuzz(ra, rb, dim, seed):
+    """symalg.multiply.outer vs densify → np.multiply.outer → symmetrize
+    (the reference's universal oracle, testing/api.py:474)."""
+    from symtensor_tpu import symalg
+    from symtensor_tpu.ops.symmetrize import symmetrize
+
+    rng = np.random.default_rng(seed)
+    da = _random_sym_dense(ra, dim, rng)
+    db = _random_sym_dense(rb, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(da)
+    B = st.FlatSymmetricTensor.from_dense(db)
+    C = symalg.multiply.outer(A, B)
+    oracle = symmetrize(jnp.tensordot(da, db, axes=0))
+    np.testing.assert_allclose(
+        np.asarray(C.todense()), np.asarray(oracle), atol=1e-10
+    )
+
+
 @given(dim=st_.integers(1, 20), seed=st_.integers(0, 2**31 - 1))
 @settings(max_examples=30, deadline=None)
 def test_power_sum_monomial_identity(dim, seed):
