@@ -489,11 +489,21 @@ def _basis_change_small(r, d, d_out, store_dt, acc_dt, budget):
                 mm = U_pref.shape[0]
                 if k < 1:
                     return jnp.einsum(
-                        "pji,ib->pjb", U_pref.reshape(mm, 1, d), Wslice
+                        "pji,ib->pjb",
+                        U_pref.reshape(mm, 1, d),
+                        Wslice,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=acc_dt,
                     )
                 CH = max(1, min(mm, budget // (N_k * d)))
                 if CH >= mm:
-                    return jnp.einsum("pji,ib->pjb", U_pref[:, tbl], Wslice)
+                    return jnp.einsum(
+                        "pji,ib->pjb",
+                        U_pref[:, tbl],
+                        Wslice,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=acc_dt,
+                    )
                 nch = -(-mm // CH)
                 pad = nch * CH - mm
                 U_pad = (
@@ -505,7 +515,13 @@ def _basis_change_small(r, d, d_out, store_dt, acc_dt, budget):
                     else U_pref
                 )
                 return jax.lax.map(
-                    lambda u: jnp.einsum("pji,ib->pjb", u[:, tbl], Wslice),
+                    lambda u: jnp.einsum(
+                        "pji,ib->pjb",
+                        u[:, tbl],
+                        Wslice,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=acc_dt,
+                    ),
                     U_pad.reshape(nch, CH, -1),
                 ).reshape(nch * CH, N_k, width)[:mm]
 
