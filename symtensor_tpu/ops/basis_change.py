@@ -197,6 +197,20 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     padding of the (npar, width) view is free because the view only
     exists inside the kernel; the stored buffer stays 1-D."""
     t_kp1 = tables(k + 1, d)
+    # MXU operand dtype: bf16 blocks feed the MXU directly (one pass, f32
+    # accumulation) — casting them to f32 + HIGHEST forces a 6-pass
+    # decomposition that buys nothing on already-bf16 data (see
+    # basis_root.root_pass_kernel).  f32 blocks keep f32 + HIGHEST.
+    # TPU only: the CPU dot thunk rejects BF16×BF16=F32.
+    _store = jnp.dtype(store_dt)
+    mxu_dt = (
+        jnp.bfloat16
+        if _store == jnp.bfloat16 and jax.default_backend() != "cpu"
+        else jnp.dtype(acc_dt)
+    )
+    prec = (
+        None if mxu_dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
     if mesh_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -261,10 +275,10 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                     # element gather — positions are in-bounds by
                     # construction, and the masked clip/where/compare form
                     # costs several extra passes over (seg, d)
-                    G = rows_flat[sl].astype(acc_dt)[None, :, :]
+                    G = rows_flat[sl].astype(mxu_dt)[None, :, :]
                 else:
                     # masked multi-piece gather (split oversized root)
-                    acc = jnp.zeros(sl.shape, acc_dt)
+                    acc = jnp.zeros(sl.shape, mxu_dt)
                     off = 0
                     for piece in rows_pieces:
                         L = piece.shape[0]
@@ -272,8 +286,8 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                         m = (loc >= 0) & (loc < L)
                         acc = acc + jnp.where(
                             m,
-                            piece[jnp.clip(loc, 0, L - 1)].astype(acc_dt),
-                            jnp.zeros((), acc_dt),
+                            piece[jnp.clip(loc, 0, L - 1)].astype(mxu_dt),
+                            jnp.zeros((), mxu_dt),
                         )
                         off += L
                     G = acc[None, :, :]  # (1, seg, d)
@@ -287,16 +301,17 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 rows2 = rows_flat.reshape(npar, width_par)
                 G = (
                     rows2[:, sl.reshape(-1)]
-                    .astype(acc_dt)
+                    .astype(mxu_dt)
                     .reshape(npar, seg, d)
                 )
             H = jax.lax.dot_general(
-                G, Wc,
+                G, Wc.astype(mxu_dt),
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=acc_dt,
-                # one-pass MXU rounds f32 operands to bf16; the steps are
-                # gather-bound, so f32-proper 3-pass matmuls are ~free
-                precision=jax.lax.Precision.HIGHEST,
+                # one-pass MXU rounds f32 operands to bf16, so f32 blocks
+                # use HIGHEST (the steps are gather-bound there); bf16
+                # blocks run one pass (see mxu_dt above)
+                precision=prec,
             )  # (npar, seg, wp)
             # select (par, b) children. Tiny DMA descriptors issue at
             # only ~0.5M/s on this chip, so the form matters:

@@ -260,12 +260,29 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
     T0 = int(comb.tri_size(d))
     if g1 is None:
         g1 = d
+    # MXU operand dtype: when the blocks are ALREADY bf16, feeding them to
+    # the MXU as bf16 (f32 accumulation via preferred_element_type) is one
+    # pass and loses nothing — the data carries bf16 noise either way,
+    # and W's bf16 rounding (~2^-9 relative) is below it.  Casting to f32
+    # + HIGHEST forces a 6-pass decomposition: pure waste on bf16 data,
+    # and the dominant per-window cost of the rank-6 flagship (the skinny
+    # (·, n, d−g)×(d−g, npar) products run at a few % of MXU peak even
+    # single-pass).  f32 storage keeps f32 + HIGHEST (the one-pass f32
+    # rounding had cost ~1e-3 identity error, docs/benchmarks.md).
+    # TPU only: the CPU dot thunk rejects BF16×BF16=F32 (tests/oracles
+    # run the f32 route there — same math up to rounding).
+    mxu = (
+        jnp.bfloat16
+        if store == jnp.bfloat16 and jax.default_backend() != "cpu"
+        else acc
+    )
+    prec = None if mxu == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
     def kern(Bs, Wp, b_lo, IH, J):
         b_lo = jnp.asarray(b_lo, jnp.int32)
         Wc = jax.lax.dynamic_slice(
             Wp, (jnp.int32(0), b_lo), (d, npar)
-        ).astype(acc)  # (d, npar)
+        ).astype(mxu)  # (d, npar)
         pieces = []
         for g in range(g0, g1):
             n = d - g
@@ -299,28 +316,29 @@ def root_pass_kernel(k: int, d: int, npar: int, store_dt: str, acc_dt: str,
                 G2 = (
                     P[:, Jg[t0:t1].reshape(-1)]
                     .reshape(nh, tl, n)
-                    .astype(acc)
+                    .astype(mxu)
                 )
                 o = jax.lax.dot_general(
                     G2, Wc[g:],
                     (((2,), (0,)), ((), ())),
                     preferred_element_type=acc,
                     # one-pass MXU rounds f32 operands to bf16 (~1e-3
-                    # identity error observed on TPU); the GEMMs are a
-                    # tiny share of step time, so buy back f32 accuracy
-                    precision=jax.lax.Precision.HIGHEST,
+                    # identity error observed on TPU), so f32 storage
+                    # buys back accuracy with HIGHEST; bf16 storage runs
+                    # one pass (see `mxu` above)
+                    precision=prec,
                 )  # (nh, tl, npar)
                 if g > 0:
                     G1 = (
                         Pg[t0:t1, IHg.reshape(-1)]
                         .reshape(tl, nh, g)
-                        .astype(acc)
+                        .astype(mxu)
                     )
                     oD = jax.lax.dot_general(
                         G1, Wc[:g],
                         (((2,), (0,)), ((), ())),
                         preferred_element_type=acc,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                     )  # (tl, nh, npar)
                     o = o + jnp.transpose(oD, (1, 0, 2))
                 out_tiles.append(o)

@@ -236,6 +236,165 @@ def _tensordot_tables(ra: int, rb: int, k: int, dim: int):
     )
 
 
+# ---------------------------------------------------------------------------
+# Pair-contraction route: out[K] = (1/n_sub) Σ_S G[pos(K_S), pos(K_∖S)]
+# with G = F_A · diag(γ) · F_Bᵀ and F_A[u, c] = A[sort(u ∪ c)].
+#
+# The contraction multiset sum collapses into ONE MXU GEMM over the small
+# expanded matrices (N_ka, N_k)·(N_k, N_kb), and the per-output work drops
+# from 2·n_sub·n_k gathered elements to n_sub gathered elements of G —
+# ~2·n_k fewer (200× at rank-3×rank-3 axes=1 dim-100, where the streaming
+# path gathers 5.3e9 elements in 57 s).  Feasible whenever F_A, F_B, G and
+# the output representative table fit the element gate below.
+# ---------------------------------------------------------------------------
+
+
+def _paired_limit() -> int:
+    import os
+
+    return int(os.environ.get("SYMTENSOR_TENSORDOT_PAIRED", 150_000_000))
+
+
+@lru_cache(maxsize=None)
+def _expand_positions(klvl: int, k: int, dim: int):
+    """Device (N_klvl, N_k) int32: position in the rank-(klvl+k) layout of
+    sort(u ∪ c) for u the row multiset (size klvl) and c the column
+    contraction multiset (size k ≥ 2; k = 1 uses the in-kernel insert
+    ranking instead)."""
+    rep_u = tables(klvl, dim).rep_np()  # (n_u, klvl)
+    rep_c = tables(k, dim).rep_np()  # (n_k, k)
+    n_u, n_k = rep_u.shape[0], rep_c.shape[0]
+    rfull = klvl + k
+    lay = tables(rfull, dim).layout
+    out = np.empty((n_u, n_k), np.int64)
+    # chunk the column axis: the (n_u·chunk, rfull) sort buffer stays small
+    ch = max(1, 2_000_000 // max(1, n_u))
+    cols = np.empty((n_u, rfull), np.int64)
+    for c0 in range(0, n_k, ch):
+        for ci in range(c0, min(c0 + ch, n_k)):
+            cols[:, :klvl] = rep_u
+            cols[:, klvl:] = rep_c[ci]
+            srt = np.sort(cols, axis=1)
+            out[:, ci] = (
+                lay.position_array(srt) if rfull > 1 else srt[:, 0]
+            )
+    return _i32(out)
+
+
+@lru_cache(maxsize=None)
+def _paired_jitted(ra, rb, k, dim, dt_str):
+    """Memoized jitted pair-contraction program for one shape signature."""
+    ka, kb = ra - k, rb - k
+    r_out = ka + kb
+    t_out = tables(r_out, dim)
+    n_out = t_out.n
+    n_ka = comb.indep_size(ka, dim)
+    n_kb = comb.indep_size(kb, dim)
+    subsets = list(itertools.combinations(range(r_out), ka))
+    n_sub = len(subsets)
+    dt = jnp.dtype(dt_str)
+
+    def level_pos(lvl_rank, part_T):
+        # position of an already-sorted sub-multiset in its level layout
+        if lvl_rank == 0:
+            return jnp.zeros((part_T.shape[1],), jnp.int32)
+        if lvl_rank == 1:
+            return part_T[0].astype(jnp.int32)
+        return tables(lvl_rank, dim).position_jnp_T(part_T)
+
+    def expand(data, lvl_rank, pos_tbl, t_full):
+        # F[u, c] = data[pos(sort(u ∪ c))] — (n_lvl, n_k)
+        if lvl_rank == 0:
+            return data.reshape(1, -1)
+        if k == 1:
+            rep_T = tables(lvl_rank, dim)._memo(
+                "rep_T_i32",
+                lambda: jnp.asarray(
+                    tables(lvl_rank, dim).rep_np().astype(np.int32).T
+                ),
+            )
+            sl = t_full.position_insert_jnp_T(rep_T)  # (n_lvl, d)
+            return data[sl]
+        return data[pos_tbl]
+
+    def fn(a_data, b_data, pa_tbl, pb_tbl, rep_flat, gam):
+        ct = jnp.result_type(a_data.dtype, b_data.dtype)
+        FA = expand(a_data, ka, pa_tbl, tables(ra, dim)).astype(ct)
+        FB = expand(b_data, kb, pb_tbl, tables(rb, dim)).astype(ct)
+        FBw = FB * gam.astype(ct)[None, :]
+        G = jax.lax.dot_general(
+            FA, FBw,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=ct,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (n_ka, n_kb)
+        Gf = G.reshape(-1)
+        if r_out == 0:
+            return Gf / n_sub
+        rep_T = rep_flat.reshape(n_out, r_out).astype(jnp.int32).T
+        acc = jnp.zeros((n_out,), dtype=ct)
+        for S in subsets:
+            Sc = tuple(i for i in range(r_out) if i not in S)
+            pa = level_pos(ka, rep_T[list(S), :])
+            pb = level_pos(kb, rep_T[list(Sc), :])
+            acc = acc + Gf[pa * n_kb + pb]
+        return acc / n_sub
+
+    return jax.jit(fn)
+
+
+def _paired_feasible(ra, rb, k, dim) -> bool:
+    if k < 1:
+        return False
+    lim = _paired_limit()
+    if lim <= 0:
+        return False
+    ka, kb = ra - k, rb - k
+    n_k = comb.indep_size(k, dim)
+    n_ka = comb.indep_size(ka, dim)
+    n_kb = comb.indep_size(kb, dim)
+    n_out = comb.indep_size(ka + kb, dim)
+    return (
+        n_ka * n_k <= lim
+        and n_kb * n_k <= lim
+        and n_ka * n_kb <= lim
+        and n_out * max(1, ka + kb) <= lim
+    )
+
+
+def _combine_paired(af, bf, k):
+    ra, rb, dim = af.rank, bf.rank, af.dim
+    ka, kb = ra - k, rb - k
+    r_out = ka + kb
+    t_out = tables(r_out, dim)
+    tk = tables(k, dim)
+    gam = tk._memo(
+        "row_gamma_f32",
+        lambda: jnp.asarray(
+            comb.row_multiplicities(tk.rep_np()).astype(np.float32)
+        ),
+    )
+    pa_tbl = (
+        _expand_positions(ka, k, dim) if (k >= 2 and ka >= 1) else None
+    )
+    pb_tbl = (
+        _expand_positions(kb, k, dim) if (k >= 2 and kb >= 1) else None
+    )
+    idt = _stream_idt(dim)
+    if r_out > 0:
+        rep_flat = t_out._memo(
+            ("rep_flat", np.dtype(idt).name),
+            lambda: jnp.asarray(
+                t_out.rep_np().astype(idt).reshape(-1)
+            ),
+        )
+    else:
+        rep_flat = jnp.zeros((0,), jnp.int8)
+    ct = jnp.result_type(af.dtype, bf.dtype)
+    fn = _paired_jitted(ra, rb, k, dim, str(jnp.dtype(ct)))
+    return fn(af.data, bf.data, pa_tbl, pb_tbl, rep_flat, gam)
+
+
 def _streamed_block_elems() -> int:
     import os
 
@@ -464,6 +623,24 @@ def tensordot(a, b, axes=1, stream: bool = None):
         raise ValueError(f"dim mismatch: {af.dim} vs {bf.dim}")
     dim = af.dim
     r_out = ra + rb - 2 * k
+
+    # Pair-contraction route: collapses the Σ_c γ_c A[·]B[·] inner sum into
+    # one GEMM over small expanded matrices, leaving n_sub gathers per
+    # output element (vs 2·n_sub·n_k) — preferred whenever its F/G/rep
+    # tables fit.  Eager-only: its memoized device tables would bake into a
+    # caller's traced program as constants.
+    if (
+        stream is None
+        and _paired_feasible(ra, rb, k, dim)
+        and not isinstance(af.data, jax.core.Tracer)
+        and not isinstance(bf.data, jax.core.Tracer)
+    ):
+        acc = _combine_paired(af, bf, k)
+        if r_out == 0:
+            out = FlatSymmetricTensor._raw(0, 1, acc.reshape(1))
+        else:
+            out = FlatSymmetricTensor._raw(r_out, dim, acc)
+        return _wrap_result(out, a, b)
 
     # table-size gate: past the guard, stream output blocks with in-kernel
     # closed-form positions instead of raising (round-2; VERDICT item 3)

@@ -136,3 +136,55 @@ def test_basis_change_chunked_root_matches_generic(r, d, d_out, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(C_old.data), np.asarray(C_new.data), rtol=0, atol=1e-11
     )
+
+
+def test_root_kernel_bf16_one_pass_close():
+    """bf16 storage routes the MXU products through one-pass bf16 operands
+    (f32 accumulation) instead of the 6-pass f32-HIGHEST decomposition —
+    results must agree with the f64 oracle at bf16 noise level."""
+    k, d, npar, b_lo = 4, 7, 3, 1
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(comb.indep_size(k + 1, d),))
+    W = rng.normal(size=(d, d + 1))
+    Wp = np.concatenate([W, np.zeros((d, 8))], axis=1)
+    kern = br.root_pass_kernel(k, d, npar, "bfloat16", "float32")
+    IH, J = br.root_tables_jnp(k, d)
+    Bs = tuple(
+        br.split_root_groups(jnp.asarray(A, jnp.bfloat16), k, d)
+    )
+    got = np.asarray(
+        kern(Bs, jnp.asarray(Wp, jnp.float32), jnp.int32(b_lo), IH, J)
+        .astype(jnp.float32)
+    ).reshape(npar, -1)
+    want = br.root_pass_oracle(A, W, k, d, b_lo, npar)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-2 * scale)
+
+
+def test_basis_change_bf16_blocked_close():
+    """Full blocked basis change with bf16 storage (the flagship config:
+    bf16 blocks, one-pass MXU, f32 accumulation) tracks the f64 result at
+    bf16 noise level."""
+    r, d, d_out = 5, 5, 6
+    rng = np.random.default_rng(3)
+    n = comb.indep_size(r, d)
+    vals = rng.normal(size=(n,))
+    W = rng.normal(size=(d, d_out))
+    A64 = st.FlatSymmetricTensor._raw(r, d, jnp.asarray(vals))
+    C64 = basis_change_packed(
+        A64, jnp.asarray(W), block_elems=5000, transient_elems=4096
+    )
+    A16 = st.FlatSymmetricTensor._raw(
+        r, d, jnp.asarray(vals, jnp.bfloat16)
+    )
+    C16 = basis_change_packed(
+        A16,
+        jnp.asarray(W, jnp.float32),
+        block_elems=5000,
+        transient_elems=4096,
+        store_dtype=jnp.bfloat16,
+    )
+    got = np.asarray(C16.data.astype(jnp.float32))
+    want = np.asarray(C64.data)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=0, atol=8e-2 * scale)
