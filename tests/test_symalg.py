@@ -675,3 +675,28 @@ def test_basis_change_donate_root(rng, monkeypatch):
         )
         with pytest.raises(RuntimeError):
             np.asarray(A2.data[:1])
+
+
+@pytest.mark.parametrize(
+    "ra,rb,k,dim",
+    [(3, 3, 1, 8), (3, 4, 2, 7), (4, 4, 3, 6), (2, 5, 2, 6), (3, 3, 3, 7)],
+)
+def test_tensordot_paired_route(ra, rb, k, dim, rng):
+    """The pair-contraction route (G = F_A·diag(γ)·F_Bᵀ, then n_sub
+    gathers of G per output) must agree with the table/stream routes and
+    the dense oracle — including k ≥ 2 (host-expanded F positions) and
+    full contraction of one operand (ka = 0)."""
+    from symtensor_tpu.ops import outer as ou
+
+    assert ou._paired_feasible(ra, rb, k, dim)
+    da, db = random_sym(ra, dim, rng), random_sym(rb, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(da))
+    B = st.FlatSymmetricTensor.from_dense(jnp.asarray(db))
+    got = symalg.tensordot(A, B, axes=k)  # default routing → paired
+    want = symalg.tensordot(A, B, axes=k, stream=True)
+    oracle = sym_np(np.tensordot(da, db, axes=k))
+    r_out = ra + rb - 2 * k
+    g = float(got.todense()) if r_out == 0 else np.asarray(got.todense())
+    w = float(want.todense()) if r_out == 0 else np.asarray(want.todense())
+    np.testing.assert_allclose(g, oracle, atol=1e-8)
+    np.testing.assert_allclose(g, w, atol=1e-8)
