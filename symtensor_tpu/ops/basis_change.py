@@ -304,22 +304,27 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                     .astype(mxu_dt)
                     .reshape(npar, seg, d)
                 )
-            H = jax.lax.dot_general(
-                G, Wc.astype(mxu_dt),
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=acc_dt,
-                # one-pass MXU rounds f32 operands to bf16, so f32 blocks
-                # use HIGHEST (the steps are gather-bound there); bf16
-                # blocks run one pass (see mxu_dt above)
-                precision=prec,
-            )  # (npar, seg, wp)
             # select (par, b) children. Tiny DMA descriptors issue at
             # only ~0.5M/s on this chip, so the form matters:
             # - seg small (leaf levels): ONE flat element-gather
             #   (nsel_pad·seg fancy-indexed elements, ~10M/s);
-            # - seg large: contiguous seg-run slice gathers (nsel_pad
-            #   descriptors of seg elements each, DMA-rate).
+            # - seg large: the product grid is computed DIRECTLY in
+            #   (wp, npar, seg) layout (swapped dot_general operands) so
+            #   the (par, b) selection is a contiguous row gather
+            #   (nsel_pad descriptors of seg elements each, DMA-rate)
+            #   with NO materialized transpose pass — at the rank-6 t=2
+            #   step the old (npar, seg, wp) → transpose → slice-gather
+            #   chain re-read the ~2 GB grid per chunk.
             if seg <= 64:
+                H = jax.lax.dot_general(
+                    G, Wc.astype(mxu_dt),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                    # one-pass MXU rounds f32 operands to bf16, so f32
+                    # blocks use HIGHEST (the steps are gather-bound
+                    # there); bf16 blocks run one pass (see mxu_dt above)
+                    precision=prec,
+                )  # (npar, seg, wp)
                 Hf = H.reshape(npar * seg * w_pad)
                 flat = (
                     (sel_par[:, None] * seg
@@ -329,24 +334,21 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 )  # (nsel_pad, seg)
                 sel = Hf[flat]
             else:
-                H2 = jnp.transpose(H, (0, 2, 1))  # (npar, wp, seg)
-                starts = jnp.stack([sel_par, sel_b], axis=1)
-                sel = jax.lax.gather(
-                    H2,
-                    starts,
-                    jax.lax.GatherDimensionNumbers(
-                        offset_dims=(1,),
-                        collapsed_slice_dims=(0, 1),
-                        start_index_map=(0, 1),
-                    ),
-                    slice_sizes=(1, 1, seg),
-                )  # (nsel_pad, seg)
+                Hn = jax.lax.dot_general(
+                    Wc.astype(mxu_dt), G,
+                    (((0,), (2,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                    precision=prec,
+                )  # (wp, npar, seg) — lanes = seg (large)
+                sel = Hn.reshape(w_pad * npar, seg)[
+                    sel_b * npar + sel_par
+                ]  # (nsel_pad, seg)
             # orientation-aware staging: every materialized 2-D shape must
             # keep a ≥128-ish axis on LANES, or tiling pads it up to 128×
             # (a (92M, 10) block staged 23.5 GB at rank 6)
             if n_k == 1:
                 return sel.reshape(-1).astype(store_dt)
-            if nsel_pad >= 128:
+            if seg <= 64 and nsel_pad >= 128:
                 return sel.T.astype(store_dt)  # (seg, nsel_pad)
             return sel.astype(store_dt)  # (nsel_pad, seg), lanes = seg
 
@@ -358,7 +360,7 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 seg_body(tbl[0]) if nseg == 1
                 else jax.lax.map(seg_body, tbl).reshape(-1)
             )[:nsel_pad]
-        elif nsel_pad >= 128:
+        elif seg <= 64 and nsel_pad >= 128:
             # bodies are (seg, nsel_pad); width-major stack, one 2-D
             # transpose at the end (both orientations lane-safe)
             if nseg == 1:
@@ -733,8 +735,12 @@ def basis_change_packed(
 
     # Zero-pad W's columns by the largest window so the in-kernel
     # dynamic_slice never clamps b_lo (clamping would silently shift the
-    # selected columns when a window overhangs d_out).
-    wmax = max(w_pad[1:])
+    # selected columns when a window overhangs d_out).  The per-row case
+    # path slices (d, row_w) windows, so the pad must cover those too.
+    row_w_cap = int(
+        min(d_out, _env_int("SYMTENSOR_BASIS_ROW_WINDOW", 50))
+    )
+    wmax = max(w_pad[1:] + [row_w_cap])
     Wdev = jnp.concatenate(
         [W.astype(acc_dt), jnp.zeros((d, wmax), dtype=acc_dt)], axis=1
     )
@@ -942,6 +948,112 @@ def basis_change_packed(
                     sel_b[:, None].astype(np.int32), nsel, Rc, n_k,
                 )
                 process(child_level, child)
+            return
+        # Per-parent-row case-kernel scheduling for WIDE mid levels
+        # (k ≥ 3).  The generic chunk schedule below re-gathers the whole
+        # npar-row parent block for every ~wp-wide b-window of children:
+        # at the rank-6 dim-100 t=1 step that is a ~10× re-read (each
+        # chunk sweeps 10 × 4.4e8 insert incidences to emit ~55 children,
+        # measured ~48 s/chunk — ~80 % of the flagship wall clock).
+        # Treating each parent ROW as a root of the case-decomposed pass
+        # (ops/basis_root.py) amortizes ONE sweep of that row over a full
+        # w-wide window of its own children, and reads via contiguous
+        # slices / shared axis-1 gathers instead of the 10-27 M el/s
+        # element-gather floor the generic kernel hits at npar = 1.
+        row_incid = _env_int("SYMTENSOR_BASIS_ROW_INCID", 100_000_000)
+        if (
+            use_root_kernel
+            and k >= 3
+            and row_incid > 0
+            and n_k * d >= row_incid
+            and blk.nrows <= 128
+            and len(blk.U) == 1
+        ):
+            from .basis_root import (
+                chunk_cols,
+                g_chunks,
+                root_dus,
+                root_pass_kernel,
+                root_tables_jnp,
+                split_root_groups,
+            )
+
+            w = int(min(d_out, Rc, row_w_cap))
+            budget = _env_int("SYMTENSOR_BASIS_ROOT_SLICES", 600)
+            chunks_g = g_chunks(d, budget)
+            rks = [
+                root_pass_kernel(
+                    k, d, w, str(store_dt), str(acc_dt),
+                    tile_elems=transient_elems, g0=c0, g1=c1,
+                )
+                for c0, c1 in chunks_g
+            ]
+            ccols = [chunk_cols(k, d, c0, c1) for c0, c1 in chunks_g]
+            IH_J = root_tables_jnp(k, d)
+            width = blk.width
+            for p in range(blk.nrows):
+                m_p = int(blk.maxels[p])
+                row = blk.U[0][p * width : (p + 1) * width]
+                groups_dev = split_root_groups(row, k, d)
+                if not isinstance(groups_dev[-1], jax.core.Tracer):
+                    # the sliced row copy is dead once split; fence the
+                    # split chain, then free it
+                    float(groups_dev[-1][0, 0])
+                    jnp.asarray(row).delete()
+                del row
+                for b_lo in range(m_p, d_out, w):
+                    b_hi = min(b_lo + w, d_out)
+                    if len(chunks_g) == 1:
+                        child_U = rks[0](
+                            tuple(groups_dev), Wdev, jnp.int32(b_lo), *IH_J
+                        )
+                    else:
+                        child_U = jnp.zeros((w * n_k,), dtype=store_dt)
+                        col = 0
+                        for rk_c, nc, (c0, _c1) in zip(rks, ccols, chunks_g):
+                            piece = rk_c(
+                                tuple(groups_dev[c0:]), Wdev,
+                                jnp.int32(b_lo), *IH_J
+                            )
+                            child_U = root_dus(w, n_k, nc, str(store_dt))(
+                                child_U, piece, col
+                            )
+                            col += nc
+                            # fence each piece: async dispatch would queue
+                            # every chunk's gather workspace at once
+                            if not isinstance(child_U, jax.core.Tracer):
+                                float(child_U[0])
+                    if not isinstance(child_U, jax.core.Tracer):
+                        float(child_U[0])
+                        if b_hi >= d_out:
+                            # last window of this row: its group blocks
+                            # are dead — free BEFORE the subtree recurses
+                            for gb in groups_dev:
+                                jnp.asarray(gb).delete()
+                            groups_dev.clear()
+                    if verbose:
+                        import sys
+                        import time as _time
+
+                        print(
+                            f"[basis {_time.time()-stats['t0']:8.1f}s] "
+                            f"level {t} row {p} window b=[{b_lo},{b_hi})",
+                            file=sys.stderr, flush=True,
+                        )
+                    stats["chunks"] += 1
+                    nsel = b_hi - b_lo
+                    sel_b = np.arange(b_lo, b_hi, dtype=np.int64)
+                    child_reps = np.concatenate(
+                        [
+                            np.broadcast_to(blk.reps[p], (nsel, t)),
+                            sel_b[:, None].astype(np.int32),
+                        ],
+                        axis=1,
+                    )
+                    child = _Block(
+                        (child_U,), sel_b, child_reps, nsel, w, n_k
+                    )
+                    process(child_level, child)
             return
         # predict the insert-map form WITHOUT building it (the windowed
         # path wants host tables, never a full-size device upload)

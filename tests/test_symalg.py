@@ -470,6 +470,63 @@ def test_basis_change_column_windowing(rng, max_segs, monkeypatch):
         )
 
 
+@pytest.mark.parametrize("transient", [215_000, 300_000])
+def test_basis_change_wide_seg_select(rng, transient):
+    """The seg > 64 select path (product grid computed directly in
+    (wp, npar, seg) layout, children picked by contiguous row gather)
+    must be exact, single- and multi-segment, including nsel_pad ≥ 128
+    child chunks."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    dim = 70  # n_k = 70 at the t=1 step ⇒ seg > 64 there
+    dense = random_sym(3, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = rng.normal(size=(dim, 8))
+    got = basis_change_packed(
+        A,
+        jnp.asarray(W),
+        block_elems=60_000,
+        transient_elems=transient,
+    )
+    oracle = np.einsum("abc,ai,bj,ck->ijk", dense, W, W, W)
+    np.testing.assert_allclose(
+        np.asarray(got.todense()), sym_np(oracle), atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("rank,dim,row_w", [(5, 6, 2), (5, 6, 5), (6, 4, 3)])
+def test_basis_change_per_row_path(rng, rank, dim, row_w, monkeypatch):
+    """Per-parent-row case-kernel scheduling of wide mid levels (k ≥ 3)
+    must be exact: each parent row is split into gflat group blocks and
+    swept by the case-decomposed root kernel over w-wide b-windows of
+    its own children.  Forced on via SYMTENSOR_BASIS_ROW_INCID=1; row_w
+    below d_out exercises multi-window rows and the overhang window."""
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    monkeypatch.setenv("SYMTENSOR_BASIS_ROW_INCID", "1")
+    monkeypatch.setenv("SYMTENSOR_BASIS_ROW_WINDOW", str(row_w))
+    dense = random_sym(rank, dim, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    subs = "abcdef"[:rank]
+    outs = "ijklmn"[:rank]
+    spec = (
+        subs + "," + ",".join(f"{s}{o}" for s, o in zip(subs, outs))
+        + "->" + outs
+    )
+    for d_out in (dim - 1, dim, dim + 1):
+        W = rng.normal(size=(dim, d_out))
+        got = basis_change_packed(
+            A,
+            jnp.asarray(W),
+            block_elems=4000,
+            transient_elems=4096,
+        )
+        oracle = np.einsum(spec, dense, *([W] * rank))
+        np.testing.assert_allclose(
+            np.asarray(got.todense()), sym_np(oracle), atol=1e-9
+        )
+
+
 @pytest.mark.parametrize(
     "block_elems,transient_elems", [(17, 23), (64, 32), (500, 4096)]
 )
