@@ -656,6 +656,17 @@ def basis_change_packed(
 
     widths = [comb.indep_size(r - t, d) for t in range(r + 1)]
     R = _row_budgets(r, d_out, widths, block_elems)
+    # explicit per-level row overrides, e.g. SYMTENSOR_BASIS_ROWS=1:20,3:2000
+    # (tuning knob: R[1] sets the root window width = number of full root
+    # sweeps; raising it trades level-1 block residency for sweep count)
+    for part in os.environ.get("SYMTENSOR_BASIS_ROWS", "").split(","):
+        if ":" in part:
+            lev, rows = part.split(":", 1)
+            lev = int(lev)
+            if 1 <= lev <= r:
+                R[lev] = max(1, min(
+                    int(rows), comb.multiset_count(d_out, lev)
+                ))
 
     # per-level window widths: wide enough that chunks can fill their row
     # budget from the parent block's fan-out
