@@ -124,11 +124,15 @@ def main():
     # level blocks don't all fit 16 GB HBM: evaluate the identity RHS up
     # front, then let the basis change free A's buffer after the split
     # (observed OOM uploading a 17 MB table at level 1 otherwise)
-    donate = sdt == jnp.bfloat16 and not fake
+    donate = sdt == jnp.bfloat16
     x = rhs = None
     if donate:
-        x = jax.random.normal(jax.random.PRNGKey(1), (dim,), jnp.float32)
-        rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
+        if not fake:
+            # fake mode skips the identity, so A is not needed again
+            x = jax.random.normal(
+                jax.random.PRNGKey(1), (dim,), jnp.float32
+            )
+            rhs = float(symalg.contract_all_indices_with_vector(A, W @ x))
         kw["donate_root"] = True
         os.environ.setdefault("SYMTENSOR_FLAGSHIP_PASSES", "1")
         print("big-n mode: RHS evaluated up front, root donated, 1 pass",
