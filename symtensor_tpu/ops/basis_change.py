@@ -195,7 +195,16 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     (width, npar) device array also physically lane-pads npar to 128,
     which materialized 23.5 GB for a 2.4 GB block).  npar ≤ 8-row sublane
     padding of the (npar, width) view is free because the view only
-    exists inside the kernel; the stored buffer stays 1-D."""
+    exists inside the kernel; the stored buffer stays 1-D.
+
+    Child selection uses the SAME fast form: the product grid is staged
+    transposed as Ht (n_k_window, npar·wp) — sub-tiled gather→GEMM→
+    transpose passes — and the (par, b) children come out as ONE
+    shared-index axis-1 gather Ht[:, par·wp + b], amortized over all
+    n_k rows.  The previous per-segment element-gather select ran at the
+    10-27 M el/s element floor and dominated every deep-level chunk
+    (measured 2.6 s vs 0.058 s for the one-shot form at the rank-6
+    L4→5 shape — benchmarks/select_form_probe.py, 45×)."""
     t_kp1 = tables(k + 1, d)
     # MXU operand dtype: bf16 blocks feed the MXU directly (one pass, f32
     # accumulation) — casting them to f32 + HIGHEST forces a 6-pass
@@ -259,17 +268,22 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                 )
             tbl = tbl.reshape((nseg, seg) + tbl.shape[1:])
 
-        def seg_body(tseg):
+        def _ranked(tseg):
             if onthefly:
                 # closed-form INSERT ranking: per-rep prefix sums + masked
                 # multiply-add planes (tables.position_insert_jnp_T) —
                 # no (k+1, seg, d) sort stack, no per-element Pascal
                 # gathers
                 rep_T = tseg.reshape(seg, k).astype(jnp.int32).T  # (k, seg)
-                sl = t_kp1.position_insert_jnp_T(rep_T)  # (seg, d)
-            else:
-                sl = tseg  # (seg, d)
-            if multi or npar == 1:
+                return t_kp1.position_insert_jnp_T(rep_T)  # (seg, d)
+            return tseg  # (seg, d)
+
+        if multi or npar == 1:
+            # root-ish cases: one parent row (or a split root) — the
+            # element-gather floor is intrinsic here; production routes
+            # rank ≥ 4 roots to ops/basis_root.py instead
+            def seg_body(tseg):
+                sl = _ranked(tseg)
                 if not multi:
                     # single piece, npar == 1 (the unsplit root): PLAIN
                     # element gather — positions are in-bounds by
@@ -291,31 +305,72 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                         )
                         off += L
                     G = acc[None, :, :]  # (1, seg, d)
+                H = jax.lax.dot_general(
+                    G, Wc.astype(mxu_dt),
+                    (((2,), (0,)), ((), ())),
+                    preferred_element_type=acc_dt,
+                    precision=prec,
+                )  # (1, seg, wp)
+                Hf = H.reshape(seg * w_pad)
+                sel = Hf[
+                    jnp.arange(seg, dtype=jnp.int32)[:, None] * w_pad
+                    + sel_b[None, :]
+                ]  # (seg, nsel_pad)
+                if n_k == 1:
+                    return sel.reshape(-1).astype(store_dt)
+                return sel.astype(store_dt)
+
+            if n_k == 1:
+                out = (
+                    seg_body(tbl[0]) if nseg == 1
+                    else jax.lax.map(seg_body, tbl).reshape(-1)
+                )[:nsel_pad]
+            elif nseg == 1:
+                out = seg_body(tbl[0])[:n_k].T.reshape(-1)
             else:
-                # 2-D axis-1 shared-index gather: blocks are stored
-                # npar-MAJOR flat, viewed (npar, width) in-kernel, and
-                # U[:, idx] lowers ~140× faster than per-column
-                # slice_sizes=(npar,) row gathers (measured 8.1 vs 0.06
-                # G elements/s at L1→2 rank-5 shapes — tiny-slice DMA
-                # descriptors issue at only ~0.4M/s)
+                out = (
+                    jax.lax.map(seg_body, tbl)
+                    .reshape(n_k_pad, nsel_pad)[:n_k]
+                    .T.reshape(-1)
+                )
+        elif n_k == 1:
+            # single child column (the k = 0 leaf step): gather the d
+            # parent columns, one GEMM, element-select the (par, b) pairs
+            sl = _ranked(tbl[0])  # (1, d)
+            rows2 = rows_flat.reshape(npar, width_par)
+            G = (
+                rows2[:, sl.reshape(-1)]
+                .astype(mxu_dt)
+                .reshape(npar, 1, d)
+            )
+            H = jax.lax.dot_general(
+                G, Wc.astype(mxu_dt),
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=acc_dt,
+                precision=prec,
+            )  # (npar, 1, wp)
+            Hf = H.reshape(npar * w_pad)
+            out = Hf[sel_par * w_pad + sel_b].astype(store_dt)
+        else:
+            # fast path: sub-tiled gather→GEMM→transpose staging, then
+            # ONE shared-index axis-1 select over all n_k rows.
+            # - parent gather rows2[:, idx] amortizes the index over the
+            #   npar rows (measured 8.1 G el/s);
+            # - the (par, b) child select Ht[:, par·wp + b] amortizes its
+            #   index over the n_k rows — the per-segment element-gather
+            #   select it replaces ran at the 10-27 M el/s element floor
+            #   and dominated every deep-level chunk (2.6 s → 0.058 s at
+            #   the rank-6 L4→5 shape, benchmarks/select_form_probe.py).
+            # Ht = (n_k, npar·wp) in store dtype; the caller windows n_k
+            # so Ht stays under SYMTENSOR_BASIS_FAN_ELEMS.
+            def sub_tile(tseg):
+                sl = _ranked(tseg)
                 rows2 = rows_flat.reshape(npar, width_par)
                 G = (
                     rows2[:, sl.reshape(-1)]
                     .astype(mxu_dt)
                     .reshape(npar, seg, d)
                 )
-            # select (par, b) children. Tiny DMA descriptors issue at
-            # only ~0.5M/s on this chip, so the form matters:
-            # - seg small (leaf levels): ONE flat element-gather
-            #   (nsel_pad·seg fancy-indexed elements, ~10M/s);
-            # - seg large: the product grid is computed DIRECTLY in
-            #   (wp, npar, seg) layout (swapped dot_general operands) so
-            #   the (par, b) selection is a contiguous row gather
-            #   (nsel_pad descriptors of seg elements each, DMA-rate)
-            #   with NO materialized transpose pass — at the rank-6 t=2
-            #   step the old (npar, seg, wp) → transpose → slice-gather
-            #   chain re-read the ~2 GB grid per chunk.
-            if seg <= 64:
                 H = jax.lax.dot_general(
                     G, Wc.astype(mxu_dt),
                     (((2,), (0,)), ((), ())),
@@ -325,61 +380,24 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                     # there); bf16 blocks run one pass (see mxu_dt above)
                     precision=prec,
                 )  # (npar, seg, wp)
-                Hf = H.reshape(npar * seg * w_pad)
-                flat = (
-                    (sel_par[:, None] * seg
-                     + jnp.arange(seg, dtype=jnp.int32)[None, :])
-                    * w_pad
-                    + sel_b[:, None]
-                )  # (nsel_pad, seg)
-                sel = Hf[flat]
-            else:
-                Hn = jax.lax.dot_general(
-                    Wc.astype(mxu_dt), G,
-                    (((0,), (2,)), ((), ())),
-                    preferred_element_type=acc_dt,
-                    precision=prec,
-                )  # (wp, npar, seg) — lanes = seg (large)
-                sel = Hn.reshape(w_pad * npar, seg)[
-                    sel_b * npar + sel_par
-                ]  # (nsel_pad, seg)
-            # orientation-aware staging: every materialized 2-D shape must
-            # keep a ≥128-ish axis on LANES, or tiling pads it up to 128×
-            # (a (92M, 10) block staged 23.5 GB at rank 6)
-            if n_k == 1:
-                return sel.reshape(-1).astype(store_dt)
-            if seg <= 64 and nsel_pad >= 128:
-                return sel.T.astype(store_dt)  # (seg, nsel_pad)
-            return sel.astype(store_dt)  # (nsel_pad, seg), lanes = seg
-
-        # assemble the child block npar-MAJOR (so the next level's axis-1
-        # gather sees a (npar, width) view), with every intermediate
-        # keeping its large axis on lanes
-        if n_k == 1:
-            out = (
-                seg_body(tbl[0]) if nseg == 1
-                else jax.lax.map(seg_body, tbl).reshape(-1)
-            )[:nsel_pad]
-        elif seg <= 64 and nsel_pad >= 128:
-            # bodies are (seg, nsel_pad); width-major stack, one 2-D
-            # transpose at the end (both orientations lane-safe)
-            if nseg == 1:
-                out2d = seg_body(tbl[0])[:n_k]
-            else:
-                out2d = jax.lax.map(seg_body, tbl).reshape(
-                    n_k_pad, nsel_pad
-                )[:n_k]
-            out = out2d.T.reshape(-1)
-        else:
-            # bodies are (nsel_pad, seg); stack along the width axis
-            if nseg == 1:
-                out = seg_body(tbl[0])[:, :n_k].reshape(-1)
-            else:
-                out = (
-                    jnp.transpose(jax.lax.map(seg_body, tbl), (1, 0, 2))
-                    .reshape(nsel_pad, n_k_pad)[:, :n_k]
-                    .reshape(-1)
+                # store-dtype staging halves the transpose/select bytes;
+                # no arithmetic follows the GEMM, so precision is
+                # unchanged vs the old post-select cast
+                return (
+                    jnp.transpose(H, (1, 0, 2))
+                    .reshape(seg, npar * w_pad)
+                    .astype(store_dt)
                 )
+
+            if nseg == 1:
+                Ht = sub_tile(tbl[0])  # (seg = n_k_pad, npar·wp)
+            else:
+                Ht = jax.lax.map(sub_tile, tbl).reshape(
+                    n_k_pad, npar * w_pad
+                )
+            sel_cols = sel_par * w_pad + sel_b  # (nsel_pad,)
+            sel = (Ht if n_k_pad == n_k else Ht[:n_k])[:, sel_cols]
+            out = sel.T.reshape(-1)  # (nsel_pad · n_k,) npar-major
         if mesh_axis is not None and n_k > 1:
             out = jax.lax.with_sharding_constraint(out, col_sharded)
         return out
@@ -1070,11 +1088,11 @@ def basis_change_packed(
         # path wants host tables, never a full-size device upload)
         onthefly = n_k * d > fly_limit
         # per-segment-element transient cost: the (npar, seg, d) gather,
-        # the (npar, seg, wp) product with wp lane-padded to 128, the
-        # (seg, nsel_pad) lane-padded child staging, plus — on the
-        # on-the-fly path — the (seg, d, k+1) index construction with its
-        # sort double-buffers
-        cost = npar_pad * (d + max(wp, 128)) + 2 * max(Rc, 128)
+        # the (npar, seg, wp) product with wp lane-padded to 128 plus its
+        # (seg, npar·wp) transpose staging, the (seg, nsel_pad) select
+        # rows, plus — on the on-the-fly path — the (seg, d, k+1) index
+        # construction
+        cost = npar_pad * (d + 2 * max(wp, 128)) + max(Rc, 128)
         if onthefly:
             # insert-ranking planes: cnt compare stack + masked FMA rows
             cost += d * (k + 2) * 3
@@ -1105,7 +1123,16 @@ def basis_change_packed(
             tbl_bytes = n_k * k * it
         else:
             tbl_bytes = n_k * d * 4
-        nwin_req = max(-(-nseg_tot // max_segs), -(-tbl_bytes // max_tbl))
+        # the select-staging matrix Ht = (n_k_window, npar·wp) must stay
+        # under the fan budget (it is materialized whole per window so
+        # the child select is ONE shared-index gather)
+        fan_elems = _env_int("SYMTENSOR_BASIS_FAN_ELEMS", 2**28)
+        ht_elems = n_k * npar_pad * wp
+        nwin_req = max(
+            -(-nseg_tot // max_segs),
+            -(-tbl_bytes // max_tbl),
+            -(-ht_elems // fan_elems),
+        )
         if nwin_req > 1 and n_k > 1:
             tbl_arg = insert_map_host(k, onthefly)
             nwin = nwin_req
