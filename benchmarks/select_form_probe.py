@@ -18,6 +18,7 @@ Usage: python benchmarks/select_form_probe.py [A|B ...]
 
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, "/root/repo")
 
@@ -127,13 +128,21 @@ def stage_b():
     pos_sorted = jnp.asarray(np.sort(pos_np).astype(np.int32))
 
     def run(p, unique):
+        # donated: a non-donated scatter copies the 3.2 GB buffer per rep
+        # (and OOMed when run after stage A in the same process)
         @jax.jit
         def f(out, vals, p):
             return out.at[p].set(vals, unique_indices=unique)
 
-        # not donated: keep `out` reusable across timing reps
-        t = timeit(lambda: f(out, vals, p))
-        return t
+        f2 = jax.jit(f, donate_argnums=(0,))
+        nonlocal_out = [f2(out + 0, vals, p)]
+        fence(nonlocal_out[0][:1])
+        t0 = time.time()
+        for _ in range(3):
+            nonlocal_out[0] = f2(nonlocal_out[0], vals, p)
+        fence(nonlocal_out[0][:1])
+        del nonlocal_out
+        return (time.time() - t0) / 3
 
     print(f"  b1 scatter unique=False     : {run(pos, False):7.3f}s",
           flush=True)
@@ -151,7 +160,7 @@ def stage_b():
     starts = jnp.asarray(starts_np)
     vals2 = jnp.ones((nruns, run_len), store)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def f4(out, vals2, starts):
         def body(i, o):
             return jax.lax.dynamic_update_slice(
@@ -159,7 +168,13 @@ def stage_b():
             )
         return jax.lax.fori_loop(0, nruns, body, out)
 
-    t = timeit(lambda: f4(out, vals2, starts))
+    buf = [f4(out + 0, vals2, starts)]
+    fence(buf[0][:1])
+    t0 = time.time()
+    for _ in range(3):
+        buf[0] = f4(buf[0], vals2, starts)
+    fence(buf[0][:1])
+    t = (time.time() - t0) / 3
     print(f"  b4 {nruns} runs of {run_len} (fori DUS): {t:7.3f}s",
           flush=True)
 
