@@ -104,9 +104,11 @@ def main():
         # transients fit 16 GB HBM
         # 2.7e9 f32 (10.8 GB resident) OOMed on the second pass; 2.45e9
         # still keeps rank-5 levels 1-2 and 4 fully resident
+        # f32 trimmed 2.1e9 → 1.9e9: the fan-select staging (Ht + sel,
+        # ~1.5 GB f32) OOMed the second pass at 2.1e9
         block_elems=int(os.environ.get(
             "SYMTENSOR_FLAGSHIP_BLOCK_ELEMS",
-            2_100_000_000 if sdt == jnp.float32 else 2_000_000_000,
+            1_900_000_000 if sdt == jnp.float32 else 2_000_000_000,
         )),
         # ≤ 2^22 is the streamed-tensordot kernel-fault threshold; the
         # rank-6 fault hypothesis (CLAUDE.md) is tested by setting

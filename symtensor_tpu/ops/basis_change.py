@@ -1087,16 +1087,23 @@ def basis_change_packed(
         # predict the insert-map form WITHOUT building it (the windowed
         # path wants host tables, never a full-size device upload)
         onthefly = n_k * d > fly_limit
-        # per-segment-element transient cost: the (npar, seg, d) gather,
+        # per-segment-column transient cost: the (npar, seg, d) gather,
         # the (npar, seg, wp) product with wp lane-padded to 128 plus its
-        # (seg, npar·wp) transpose staging, the (seg, nsel_pad) select
-        # rows, plus — on the on-the-fly path — the (seg, d, k+1) index
-        # construction
-        cost = npar_pad * (d + 2 * max(wp, 128)) + max(Rc, 128)
+        # (seg, npar·wp) transpose staging, plus — on the on-the-fly
+        # path — the (seg, d, k+1) index construction.  The budget is
+        # DELIBERATELY larger than the generic transient budget: each
+        # gather op costs ~10-15 ms on this chip regardless of size
+        # (measured: 24k-index map steps run at ~160 M el/s while one
+        # 485M-element gather runs at 8.4 G el/s), so fewer, bigger
+        # segments win as long as the (npar, seg, d) workspace fits.
+        cost = npar_pad * (d + 2 * max(wp, 128))
         if onthefly:
             # insert-ranking planes: cnt compare stack + masked FMA rows
             cost += d * (k + 2) * 3
-        seg = int(max(1, min(n_k, transient_elems // max(1, cost))))
+        gather_elems = _env_int(
+            "SYMTENSOR_BASIS_GATHER_ELEMS", 4 * transient_elems
+        )
+        seg = int(max(1, min(n_k, gather_elems // max(1, cost))))
         # Host-level COLUMN WINDOWING of long steps: a single program
         # with ~59k map steps (the rank-6 t=0 root pass) crashes the
         # TPU worker through the tunnel, while the identical kernel at
