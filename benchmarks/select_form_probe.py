@@ -179,6 +179,56 @@ def stage_b():
           flush=True)
 
 
+def stage_c():
+    """The fused-leaf-emit scatter pattern: (npar, wp) grid, positions
+    base[par] + j for valid slots (consecutive within a parent), distinct
+    dump slots for invalid — measures the post-fusion leaf floor."""
+    n_out = 1_609_344_100
+    npar, wp = 2_000_000, 8
+    store = jnp.bfloat16
+    rng = np.random.default_rng(2)
+
+    out = jnp.zeros((n_out + bcDUMP,), store)
+    fence(out[:1])
+    H = jnp.ones((npar, wp), store)
+    base = jnp.asarray(
+        rng.choice(n_out - wp, size=npar, replace=False).astype(np.int32)
+    )
+    starts = jnp.zeros((wp,), jnp.int32)
+    counts_np = rng.integers(0, npar, size=wp).astype(np.int32)
+    counts = jnp.asarray(counts_np)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def f(out, H, base, starts, counts):
+        par = jnp.arange(npar, dtype=jnp.int32)[:, None]
+        j = jnp.arange(wp, dtype=jnp.int32)[None, :]
+        valid = (par >= starts[None, :]) & (par < (starts + counts)[None, :])
+        pos = base[:, None] + j
+        s = jnp.arange(npar * wp, dtype=jnp.int32)
+        posf = jnp.where(
+            valid.reshape(-1), pos.reshape(-1), n_out + s % bcDUMP
+        )
+        return out.at[posf].set(H.reshape(-1), unique_indices=False)
+
+    buf = [f(out + 0, H, base, starts, counts)]
+    fence(buf[0][:1])
+    t0 = time.time()
+    for _ in range(3):
+        buf[0] = f(buf[0], H, base, starts, counts)
+    fence(buf[0][:1])
+    t = (time.time() - t0) / 3
+    nvalid = int(counts_np.sum())
+    print(
+        f"  c1 fused-emit pattern npar={npar} wp={wp} "
+        f"({nvalid/1e6:.1f}M valid of {npar*wp/1e6:.0f}M): {t:7.3f}s "
+        f"({npar*wp/t/1e6:6.1f} M slots/s)",
+        flush=True,
+    )
+
+
+bcDUMP = 4096
+
+
 def main():
     stages = sys.argv[1:] or ["A", "B"]
     print(f"device={jax.devices()[0]}", flush=True)
@@ -188,6 +238,9 @@ def main():
     if "B" in stages:
         print("Stage B — leaf emit scatter forms", flush=True)
         stage_b()
+    if "C" in stages:
+        print("Stage C — fused-emit scatter pattern", flush=True)
+        stage_c()
 
 
 if __name__ == "__main__":

@@ -142,6 +142,61 @@ _DUMP_SLOTS = 4096
 
 
 @lru_cache(maxsize=None)
+def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt):
+    """Fused k = 0 step + leaf emit: one GEMM, per-PARENT base positions,
+    one scatter.
+
+    Children of a leaf parent occupy CONSECUTIVE gflat slots: for b ≥
+    max(rep), pos(sort(rep ∪ {b})) = base(rep) + b (the tri row is
+    contiguous in its last element), so the whole (npar, wp) product grid
+    scatters with positions base[par] + b — no per-slot select, no
+    per-slot rep gathers, no Pascal-table gathers (closed-form head
+    ranks, tables.position_base_jnp_T).  The unfused pipeline paid ~4-5
+    nsel-sized element-rate passes (select + rep gathers + ranking) per
+    chunk — 43 of the 93 s warm rank-5 dim-100 run."""
+    t_out = tables(r, d_out)
+    _store = jnp.dtype(store_dt)
+    mxu_dt = (
+        jnp.bfloat16
+        if _store == jnp.bfloat16 and jax.default_backend() != "cpu"
+        else jnp.dtype(acc_dt)
+    )
+    prec = None if mxu_dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    def kern(out, rows_flat, Wm, b_lo, starts, counts, reps_flat):
+        Wc = jax.lax.dynamic_slice(
+            Wm, (jnp.int32(0), b_lo), (Wm.shape[0], w_pad)
+        ).astype(mxu_dt)
+        rows2 = rows_flat.reshape(npar, d)
+        H = jax.lax.dot_general(
+            rows2.astype(mxu_dt), Wc,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dt,
+            precision=prec,
+        )  # (npar, w_pad)
+        # reps arrive column-major flat ((r−1) planes of npar) — the
+        # all-rows reshape is free (the unfused emit had to GATHER per
+        # selected slot)
+        rep = reps_flat.reshape(r - 1, npar).astype(jnp.int32)
+        base = t_out.position_base_jnp_T(rep)  # (npar,)
+        par = jnp.arange(npar, dtype=jnp.int32)[:, None]
+        j = jnp.arange(w_pad, dtype=jnp.int32)[None, :]
+        valid = (par >= starts[None, :]) & (
+            par < (starts + counts)[None, :]
+        )
+        pos = base[:, None] + (b_lo + j)  # (npar, w_pad)
+        s = jnp.arange(npar * w_pad, dtype=jnp.int32)
+        posf = jnp.where(
+            valid.reshape(-1), pos.reshape(-1), n_out + s % _DUMP_SLOTS
+        )
+        return out.at[posf].set(
+            H.reshape(-1).astype(out.dtype), unique_indices=False
+        )
+
+    return jax.jit(kern, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _combine_windows(nsel_pad, nkws, store_dt):
     """Reassemble column-windowed step outputs into one npar-major flat
     child block via a single concat.  Superseded in production by
@@ -791,6 +846,45 @@ def basis_change_packed(
         child_level = t + 1
         nsel = sum(c for _, _, c in groups)
         bs_d, st_d, ct_d = _group_descriptors(groups, nb_pad)
+        if kern is None:  # fused leaf (eligibility decided in process())
+            # fused k=0 step + emit: the group b-values are consecutive
+            # from b_lo by construction (see the chunk loop), so column j
+            # of the product grid is b_lo + j and validity is the
+            # (starts, counts) parent range per column
+            if blk.reps_dev is None:
+                rdt = (
+                    np.int8 if d_out <= 127
+                    else np.int16 if d_out <= 32767 else np.int32
+                )
+                rp = np.zeros((blk.npar, r - 1), rdt)
+                rp[: blk.nrows] = blk.reps
+                blk.reps_dev = jnp.asarray(
+                    np.ascontiguousarray(rp.T).reshape(-1)
+                )
+            out_buf = _fused_leaf_emit(
+                r, d, d_out, n_out, blk.npar, nb_pad,
+                str(store_dt), str(acc_dt),
+            )(out_buf, blk.U[0], Wdev, jnp.int32(b_lo), st_d, ct_d,
+              blk.reps_dev)
+            stats["emits"] = stats.get("emits", 0) + 1
+            fenced = (
+                not isinstance(out_buf, jax.core.Tracer)
+                and stats["emits"] % _fence_every() == 0
+            )
+            if fenced:
+                float(out_buf[-1])
+            if verbose and fenced:
+                import sys
+                import time as _time
+
+                print(
+                    f"[basis {_time.time()-stats['t0']:8.1f}s]   leaf emit "
+                    f"#{stats['emits']} nsel={nsel} npar={blk.nrows} "
+                    f"b_lo={b_lo} (fused)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            return
         child_U = kern(
             blk.U, tbl_arg, Wdev, b_lo, bs_d, st_d, ct_d
         )  # flattened (nsel_pad · n_k_child,)
@@ -1086,6 +1180,13 @@ def basis_change_packed(
             return
         # predict the insert-map form WITHOUT building it (the windowed
         # path wants host tables, never a full-size device upload)
+        fused_here = (
+            child_level == r
+            and use_fused_emit
+            and len(blk.U) == 1
+            and blk.npar >= 2
+            and mesh is None
+        )
         onthefly = n_k * d > fly_limit
         # per-segment-column transient cost: the (npar, seg, d) gather,
         # the (npar, seg, wp) product with wp lane-padded to 128 plus its
@@ -1140,7 +1241,9 @@ def basis_change_packed(
             -(-tbl_bytes // max_tbl),
             -(-ht_elems // fan_elems),
         )
-        if nwin_req > 1 and n_k > 1:
+        if fused_here:
+            kern = tbl_arg = None  # run_chunk takes the fused-emit path
+        elif nwin_req > 1 and n_k > 1:
             tbl_arg = insert_map_host(k, onthefly)
             nwin = nwin_req
             cols_raw = -(-n_k // nwin)
@@ -1225,6 +1328,11 @@ def basis_change_packed(
         r >= 4
         and mesh is None
         and os.environ.get("SYMTENSOR_BASIS_ROOT", "1") not in ("", "0")
+    )
+    use_fused_emit = (
+        r >= 2
+        and os.environ.get("SYMTENSOR_BASIS_FUSED_EMIT", "1")
+        not in ("", "0")
     )
     root_vals = A.data.astype(store_dt)
     gmax = _env_int("SYMTENSOR_GATHER_MAX_BYTES", (1 << 31) - (1 << 27))

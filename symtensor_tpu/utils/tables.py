@@ -159,7 +159,49 @@ class Tables:
         tri = a * (2 * side - a + 1) // 2 + (b - a)
         return self.group_off[j] + hrank * self.group_T[j] + tri
 
-    def position_insert_jnp_T(self, rep_T: jnp.ndarray) -> jnp.ndarray:
+    @staticmethod
+    def _binom_shift(x: jnp.ndarray, m: int) -> jnp.ndarray:
+        """C(x + m - 1, m) as closed-form int32 arithmetic for small m —
+        replaces the per-element Pascal-table gathers on hot paths (every
+        element gather costs ~10-27 M el/s on this chip; the polynomial is
+        pure VPU).  Falls back to None for m > 4 (callers then gather)."""
+        if m == 1:
+            return x
+        if m == 2:
+            return x * (x + 1) // 2
+        if m == 3:
+            return x * (x + 1) * (x + 2) // 6
+        return None
+
+    def position_base_jnp_T(self, rep_T: jnp.ndarray) -> jnp.ndarray:
+        """Leaf-emit base positions: for ascending reps (rank−1 components)
+        the gflat position of sort(rep ∪ {b}) for any b ≥ max(rep) is
+        EXACTLY ``base + b`` — children of a parent occupy consecutive
+        slots in their tri row.  rep_T: (rank−1, N) int → (N,) int32.
+
+        All head-rank Pascal terms use closed-form polynomials
+        (`_binom_shift`), so the only memory op is the (dim,)-table
+        group_off gather; everything else is VPU arithmetic on (N,)."""
+        r, d = self.rank, self.dim
+        if r == 1:
+            return jnp.zeros(rep_T.shape[1:], dtype=jnp.int32)
+        rep = rep_T.astype(jnp.int32)
+        if r == 2:
+            a = rep[0]
+            return a * (2 * d - a + 1) // 2 - a
+        g = rep[r - 3]
+        hrank = jnp.zeros(rep.shape[1:], dtype=jnp.int32)
+        for t in range(r - 3):
+            # C(rep_t + t, t+1) = C(x + m − 1, m) at x = rep_t, m = t+1
+            term = self._binom_shift(rep[t], t + 1)
+            if term is None:
+                term = self.pascal[rep[t] + t, t + 1]
+            hrank = hrank + term
+        a = rep[r - 2] - g
+        side = d - g
+        T_g = side * (side + 1) // 2
+        tri_base = a * (2 * side - a + 1) // 2 - a - g
+        return self.group_off[g] + hrank * T_g + tri_base
         """gflat positions of sort(rep ∪ {i}) for every i ∈ [0, d),
         without sorting or per-element table gathers.
 
