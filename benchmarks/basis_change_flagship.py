@@ -177,7 +177,7 @@ def main():
             rank - t - 1, dim
         ) * dim
     print(f"useful FLOPs {flops/1e12:.2f} TF → "
-          f"{flops/t_warm/1e12:.1f} TFLOP/s effective", flush=True)
+          f"{flops/t_warm/1e12:.3f} TFLOP/s effective", flush=True)
 
 
 if __name__ == "__main__":
