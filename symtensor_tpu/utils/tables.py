@@ -202,6 +202,8 @@ class Tables:
         T_g = side * (side + 1) // 2
         tri_base = a * (2 * side - a + 1) // 2 - a - g
         return self.group_off[g] + hrank * T_g + tri_base
+
+    def position_insert_jnp_T(self, rep_T: jnp.ndarray) -> jnp.ndarray:
         """gflat positions of sort(rep ∪ {i}) for every i ∈ [0, d),
         without sorting or per-element table gathers.
 
