@@ -63,6 +63,26 @@ def _fence_every() -> int:
     return _env_int("SYMTENSOR_BASIS_FENCE_EVERY", 4)
 
 
+def _emit_fence_every() -> int:
+    """Leaf emits are fenced far more sparsely than step chunks: a queued
+    emit holds no new device buffers (the output is donated through the
+    chain and its operands are the already-resident parent block), while a
+    fence through the axon tunnel exposes ~0.4 s of round-trip latency per
+    op (measured: 13 pipelined 7.4M-slot emits drain in 0.9 s total where
+    individually fenced ones cost ~0.44 s EACH — benchmarks/
+    emit_form_probe.py vs the fenced flagship timeline).  The leaf loop
+    additionally fences once per parent block, so this only bounds the
+    in-flight queue inside one block.
+
+    An explicit SYMTENSOR_BASIS_FENCE_EVERY (the per-chunk attribution
+    knob) also caps the emit cadence so fenced debugging runs keep
+    accurate per-emit timestamps."""
+    ev = _env_int("SYMTENSOR_BASIS_EMIT_FENCE_EVERY", 16)
+    if "SYMTENSOR_BASIS_FENCE_EVERY" in os.environ:
+        return min(_fence_every(), ev)
+    return ev
+
+
 # ---------------------------------------------------------------------------
 # Device kernels — one compile per (level shape), cached
 # ---------------------------------------------------------------------------
@@ -869,7 +889,7 @@ def basis_change_packed(
             stats["emits"] = stats.get("emits", 0) + 1
             fenced = (
                 not isinstance(out_buf, jax.core.Tracer)
-                and stats["emits"] % _fence_every() == 0
+                and stats["emits"] % _emit_fence_every() == 0
             )
             if fenced:
                 float(out_buf[-1])
@@ -913,7 +933,7 @@ def basis_change_packed(
             stats["emits"] = stats.get("emits", 0) + 1
             fenced = (
                 not isinstance(out_buf, jax.core.Tracer)
-                and stats["emits"] % _fence_every() == 0
+                and stats["emits"] % _emit_fence_every() == 0
             )
             if fenced:
                 float(out_buf[-1])
@@ -1318,6 +1338,12 @@ def basis_change_packed(
                 b += 1
             if nsel:
                 run_chunk(t, blk, kern, tbl_arg, b_lo, groups, Rc, wp)
+        if child_level == r and not isinstance(out_buf, jax.core.Tracer):
+            # drain the block's queued emits ONCE before the recursion
+            # returns and the next subtree's step kernels allocate their
+            # (big, distinct) child buffers — per-emit fencing exposed
+            # ~0.4 s tunnel latency each (see _emit_fence_every)
+            float(out_buf[-1])
 
     # Split the root leaf into pieces under the gather-operand byte limit
     # (oversized gather sources crash the TPU worker); a single piece means
