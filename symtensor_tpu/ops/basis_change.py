@@ -860,6 +860,21 @@ def basis_change_packed(
         dev = jnp.asarray(arr)
         return dev[0], dev[1], dev[2]
 
+    def ensure_reps_dev(blk):
+        """One upload per leaf-parent block: COLUMN-major flat rep table
+        the emit kernels rank into output positions (narrowest dtype —
+        the tunnel is the cost)."""
+        if blk.reps_dev is None:
+            rdt = (
+                np.int8 if d_out <= 127
+                else np.int16 if d_out <= 32767 else np.int32
+            )
+            rp = np.zeros((blk.npar, r - 1), rdt)
+            rp[: blk.nrows] = blk.reps
+            blk.reps_dev = jnp.asarray(
+                np.ascontiguousarray(rp.T).reshape(-1)
+            )
+
     def run_chunk(t, blk, kern, tbl_arg, b_lo, groups, nsel_pad, nb_pad):
         nonlocal out_buf
         stats["chunks"] += 1
@@ -871,16 +886,7 @@ def basis_change_packed(
             # from b_lo by construction (see the chunk loop), so column j
             # of the product grid is b_lo + j and validity is the
             # (starts, counts) parent range per column
-            if blk.reps_dev is None:
-                rdt = (
-                    np.int8 if d_out <= 127
-                    else np.int16 if d_out <= 32767 else np.int32
-                )
-                rp = np.zeros((blk.npar, r - 1), rdt)
-                rp[: blk.nrows] = blk.reps
-                blk.reps_dev = jnp.asarray(
-                    np.ascontiguousarray(rp.T).reshape(-1)
-                )
+            ensure_reps_dev(blk)
             out_buf = _fused_leaf_emit(
                 r, d, d_out, n_out, blk.npar, nb_pad,
                 str(store_dt), str(acc_dt),
@@ -909,17 +915,7 @@ def basis_change_packed(
             blk.U, tbl_arg, Wdev, b_lo, bs_d, st_d, ct_d
         )  # flattened (nsel_pad · n_k_child,)
         if child_level == r:
-            if blk.reps_dev is None:
-                # one upload per leaf-parent block: COLUMN-major flat rep
-                # table the emit kernel ranks into output positions
-                # (narrowest dtype — the tunnel is the cost)
-                rdt = (
-                    np.int8 if d_out <= 127
-                    else np.int16 if d_out <= 32767 else np.int32
-                )
-                rp = np.zeros((blk.npar, r - 1), rdt)
-                rp[: blk.nrows] = blk.reps
-                blk.reps_dev = jnp.asarray(np.ascontiguousarray(rp.T).reshape(-1))
+            ensure_reps_dev(blk)
             bucket = min(_bucket(nsel), nsel_pad)
             out_buf = _emit_kernel2(
                 r, d_out, n_out, bucket, str(store_dt)
@@ -929,11 +925,13 @@ def basis_change_packed(
             # buffer stays allocated (observed OOM at flagship size).  A
             # scalar readback is the only reliable fence through the axon
             # tunnel (CLAUDE.md); forcing the newest emit drains the whole
-            # dependency chain behind it.
+            # dependency chain behind it.  UNLIKE the fused path, every
+            # queued unfused emit holds its bucket-sized child_U step
+            # output alive, so this path keeps the TIGHT cadence.
             stats["emits"] = stats.get("emits", 0) + 1
             fenced = (
                 not isinstance(out_buf, jax.core.Tracer)
-                and stats["emits"] % _emit_fence_every() == 0
+                and stats["emits"] % _fence_every() == 0
             )
             if fenced:
                 float(out_buf[-1])

@@ -164,7 +164,7 @@ class Tables:
         """C(x + m - 1, m) as closed-form int32 arithmetic for small m —
         replaces the per-element Pascal-table gathers on hot paths (every
         element gather costs ~10-27 M el/s on this chip; the polynomial is
-        pure VPU).  Falls back to None for m > 4 (callers then gather)."""
+        pure VPU).  Falls back to None for m >= 4 (callers then gather)."""
         if m == 1:
             return x
         if m == 2:
