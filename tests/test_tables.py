@@ -109,3 +109,22 @@ def test_position_insert_matches_sort_rank():
         full = np.sort(full, axis=1)
         ref = np.asarray(t.position_jnp_T(jnp.asarray(full.transpose(1, 0, 2))))
         assert np.array_equal(got, ref), (K, d)
+
+
+def test_position_base_matches_insert_for_tail_b():
+    """Fused-leaf-emit base ranking: for ascending rep and any b >= max(rep),
+    position(sort(rep u {b})) == base(rep) + b — children of one parent
+    occupy consecutive gflat slots (ops/basis_change._fused_leaf_emit)."""
+    import jax.numpy as jnp
+
+    for K, d in [(2, 6), (3, 7), (4, 6), (5, 5), (6, 4), (7, 4), (8, 3)]:
+        t = tb.tables(K, d)
+        reps = tb.tables(K - 1, d).rep_np().astype(np.int32)
+        base = np.asarray(t.position_base_jnp_T(jnp.asarray(reps.T)))
+        ins = np.asarray(t.position_insert_jnp_T(jnp.asarray(reps.T)))
+        mx = reps.max(axis=1) if K > 1 else np.zeros(len(reps), np.int32)
+        for b in range(d):
+            ok = b >= mx
+            assert np.array_equal(
+                (base + b)[ok], ins[ok, b]
+            ), (K, d, b)
