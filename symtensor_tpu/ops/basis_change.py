@@ -1040,8 +1040,20 @@ def basis_change_packed(
             if donate_root and not traced:
                 float(groups_dev[-1][0, 0])  # fence the split chain
                 jnp.asarray(blk.U[0]).delete()
+            # Attribution knob: SYMTENSOR_BASIS_ROOT_WINDOW_RANGE=lo:hi
+            # processes only root windows with b_lo in [lo, hi) — the
+            # output is then PARTIAL (other windows' subtrees never run);
+            # for per-window cost attribution on the multi-hour flagship,
+            # not for production use.
+            wr = os.environ.get("SYMTENSOR_BASIS_ROOT_WINDOW_RANGE", "")
+            win_rng = None
+            if ":" in wr:
+                lo_s, hi_s = wr.split(":", 1)
+                win_rng = (int(lo_s), int(hi_s))
             for b_lo in range(0, d_out, Rc):
                 b_hi = min(b_lo + Rc, d_out)
+                if win_rng and not (win_rng[0] <= b_lo < win_rng[1]):
+                    continue
                 if len(chunks) == 1:
                     child_U = rks[0](
                         tuple(groups_dev), Wdev, jnp.int32(b_lo), *IH_J
