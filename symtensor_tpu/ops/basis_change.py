@@ -83,6 +83,27 @@ def _emit_fence_every() -> int:
     return ev
 
 
+def _piece_fence_every() -> int:
+    """Fence cadence INSIDE one multi-program root/row window.
+
+    When the host-unrolled root pass is chunked into ~9 programs (the
+    SYMTENSOR_BASIS_ROOT_SLICES budget at d=100), fencing after every
+    piece costs ~9 tunnel round-trips (>=31 ms each, ~0.3 s) per window
+    — a measurable share of the ~1.4 s warm per-row window (pass-B
+    attribution, benchmarks/root_window_attrib.py).  Each un-fenced
+    piece keeps at most one chunk's gather workspace in flight, so a
+    cadence of 3 bounds extra peak memory to ~2 workspaces while
+    cutting the round-trips 3x.  The window-level fence after the loop
+    still drains everything.
+
+    An explicit SYMTENSOR_BASIS_FENCE_EVERY (per-chunk attribution
+    knob) forces cadence 1 so fenced debugging runs keep accurate
+    per-piece timestamps."""
+    if "SYMTENSOR_BASIS_FENCE_EVERY" in os.environ and _fence_every() == 1:
+        return 1
+    return max(1, _env_int("SYMTENSOR_BASIS_PIECE_FENCE_EVERY", 3))
+
+
 # ---------------------------------------------------------------------------
 # Device kernels — one compile per (level shape), cached
 # ---------------------------------------------------------------------------
@@ -1061,7 +1082,10 @@ def basis_change_packed(
                 else:
                     child_U = jnp.zeros((Rc * n_k,), dtype=store_dt)
                     col = 0
-                    for rk_c, nc, (c0, _c1) in zip(rks, ccols, chunks):
+                    pf = _piece_fence_every()
+                    for i_c, (rk_c, nc, (c0, _c1)) in enumerate(
+                        zip(rks, ccols, chunks)
+                    ):
                         piece = rk_c(
                             tuple(groups_dev[c0:]), Wdev,
                             jnp.int32(b_lo), *IH_J
@@ -1070,9 +1094,13 @@ def basis_change_packed(
                             child_U, piece, col
                         )
                         col += nc
-                        # fence each piece: async dispatch would queue
-                        # every chunk's gather workspace at once
-                        if not isinstance(child_U, jax.core.Tracer):
+                        # fence every pf-th piece: async dispatch would
+                        # otherwise queue every chunk's gather workspace
+                        # at once (see _piece_fence_every)
+                        if (
+                            i_c % pf == pf - 1
+                            and not isinstance(child_U, jax.core.Tracer)
+                        ):
                             float(child_U[0])
                 # fence each window: async dispatch would queue every
                 # window's gather workspace at once
@@ -1163,7 +1191,10 @@ def basis_change_packed(
                     else:
                         child_U = jnp.zeros((w * n_k,), dtype=store_dt)
                         col = 0
-                        for rk_c, nc, (c0, _c1) in zip(rks, ccols, chunks_g):
+                        pf = _piece_fence_every()
+                        for i_c, (rk_c, nc, (c0, _c1)) in enumerate(
+                            zip(rks, ccols, chunks_g)
+                        ):
                             piece = rk_c(
                                 tuple(groups_dev[c0:]), Wdev,
                                 jnp.int32(b_lo), *IH_J
@@ -1172,9 +1203,12 @@ def basis_change_packed(
                                 child_U, piece, col
                             )
                             col += nc
-                            # fence each piece: async dispatch would queue
-                            # every chunk's gather workspace at once
-                            if not isinstance(child_U, jax.core.Tracer):
+                            # fence every pf-th piece (see
+                            # _piece_fence_every)
+                            if (
+                                i_c % pf == pf - 1
+                                and not isinstance(child_U, jax.core.Tracer)
+                            ):
                                 float(child_U[0])
                     if not isinstance(child_U, jax.core.Tracer):
                         float(child_U[0])
