@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import combinatorics as comb
+from ..utils.precision import value_prec
 from .base import SymmetricTensor, default_dtype
 from .flat import FlatSymmetricTensor
 
@@ -306,7 +307,9 @@ class DecompSymmetricTensor(SymmetricTensor):
                 for p in S:
                     u = u * fT[:, rep[:, p]]
                 us.append(u)
-            term = jnp.einsum(spec, self.weights, *us)
+            term = jnp.einsum(
+                spec, self.weights, *us, precision=value_prec(self.dtype)
+            )
             acc = term if acc is None else acc + term
         vals = acc / len(chains)
         return FlatSymmetricTensor._raw(r, d, vals)
@@ -337,7 +340,9 @@ class DecompSymmetricTensor(SymmetricTensor):
                 for p in S:
                     u = u * self.factors[:, idxa[p]]
                 us.append(u)
-            term = jnp.einsum(spec, self.weights, *us)
+            term = jnp.einsum(
+                spec, self.weights, *us, precision=value_prec(self.dtype)
+            )
             acc = term if acc is None else acc + term
         return acc / len(chains)
 
@@ -430,7 +435,10 @@ class DecompSymmetricTensor(SymmetricTensor):
         ra, rb = self.rank, other.rank
         if axes > min(ra, rb):
             raise ValueError("too many axes")
-        G = self.factors @ other.factors.T  # (Fa, Fb) Gram matrix
+        G = jnp.dot(
+            self.factors, other.factors.T,
+            precision=value_prec(self.dtype),
+        )  # (Fa, Fb) Gram matrix
 
         if self.num_indep_factors == 1 and other.num_indep_factors == 1:
             # T = Σ λ_a f_a^{⊗ra}, S = Σ μ_b g_b^{⊗rb}
@@ -490,7 +498,7 @@ class DecompSymmetricTensor(SymmetricTensor):
             self.rank,
             W.shape[1],
             self.weights,
-            self.factors @ W,
+            jnp.dot(self.factors, W, precision=value_prec(self.dtype)),
             self.multiplicities,
         )
 
@@ -498,13 +506,16 @@ class DecompSymmetricTensor(SymmetricTensor):
         """(weights · ∏_t (factors@x)^{m_t}).sum()
         (decomp_symmtensor.py:67-71,1025)."""
         x = jnp.asarray(x, dtype=self.dtype)
-        v = self.factors @ x  # (F,)
+        v = jnp.dot(self.factors, x, precision=value_prec(self.dtype))  # (F,)
         k = self.num_indep_factors
         if k == 0:
             return self.weights.reshape(())
         spec = ",".join([_LETTERS[:k]] + list(_LETTERS[:k])) + "->"
         return jnp.einsum(
-            spec, self.weights, *[v ** m for m in self.multiplicities]
+            spec,
+            self.weights,
+            *[v ** m for m in self.multiplicities],
+            precision=value_prec(self.dtype),
         )
 
     def reduce_factors(self, cutoff: float = 1e-12, top_k=None):
@@ -539,7 +550,10 @@ def _couple(a_red, b_red, A, B, t_i, s_i, G, scale):
     la = _LETTERS[:ka]
     lb = _LETTERS[ka : ka + kb]
     spec = f"{la},{lb},{la[t_i]}{lb[s_i]}->{la}{lb}"
-    w = jnp.einsum(spec, A.weights, B.weights, G.astype(A.weights.dtype))
+    w = jnp.einsum(
+        spec, A.weights, B.weights, G.astype(A.weights.dtype),
+        precision=value_prec(A.weights.dtype),
+    )
     w = w * scale
     # sum out contracted groups that vanished; keep as diagonal otherwise
     # (a surviving contracted group still refers to its factor index)

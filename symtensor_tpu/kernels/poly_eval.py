@@ -34,6 +34,7 @@ import numpy as np
 
 from ..core.flat import FlatSymmetricTensor
 from ..utils import combinatorics as comb
+from ..utils.precision import value_prec
 
 
 @lru_cache(maxsize=None)
@@ -119,7 +120,7 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     if r == 0:
         return vals[0].astype(ct)
     if r == 1:
-        return jnp.dot(vals.astype(ct), x)
+        return jnp.dot(vals.astype(ct), x, precision=value_prec(ct))
 
     t = A.tables
     ta, tb = t.tri_pairs
@@ -129,7 +130,7 @@ def poly_eval_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     tri = tri * (1.0 - 0.5 * diag)
 
     if r == 2:
-        return 2.0 * jnp.dot(vals.astype(ct), tri)
+        return 2.0 * jnp.dot(vals.astype(ct), tri, precision=value_prec(ct))
 
     M, maxel, maxrun = _head_weights(t, x, r)
     get_V = _barrier_view_getter(vals, r, d)
@@ -154,12 +155,15 @@ def _barrier_view_getter(vals, r, d):
 
 def _dot1(mat, vec, contract_axis, ct):
     """mat·vec contracting one axis, accumulating in ct without upcasting
-    the (possibly bf16) matrix in memory."""
+    the (possibly bf16) matrix in memory. Precision follows value_prec:
+    eager GEMVs run on the VPU either way, but under vmap these become
+    MXU GEMMs where DEFAULT would truncate f32 operands to bf16."""
     return jax.lax.dot_general(
         mat,
         vec.astype(mat.dtype),
         (((contract_axis,), (0,)), ((), ())),
         preferred_element_type=ct,
+        precision=value_prec(mat.dtype),
     )
 
 
@@ -186,7 +190,8 @@ def _eval_core(get_V, tri, x, M, maxel, maxrun, r, d, ct):
         c2 = c1 * (1.0 / (q + 2) - 1.0)
         c3 = c1 * (2.0 / ((q + 2) * (q + 3)) - 1.0 / (q + 2))
         total = total + jnp.dot(
-            M[:Pj], c1 * u_full + c2 * u_row + c3 * u_cell
+            M[:Pj], c1 * u_full + c2 * u_row + c3 * u_cell,
+            precision=value_prec(ct),
         )
     return float(math.factorial(r)) * total
 
@@ -290,7 +295,9 @@ def _views_eval_premul_jitted(rank: int, dim: int):
             else:
                 u = _dot1(V, tri_j, 1, ct)
             q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
-            total = total + jnp.dot(M[:Pj] * (x[j] / (q + 1.0)), u)
+            total = total + jnp.dot(
+                M[:Pj] * (x[j] / (q + 1.0)), u, precision=value_prec(ct)
+            )
         return float(math.factorial(rank)) * total
 
     return jax.jit(f)
@@ -323,10 +330,13 @@ def _views_eval_batched_premul_jitted(rank: int, dim: int):
                 V,
                 (((1,), (ax,)), ((), ())),
                 preferred_element_type=ct,
+                precision=value_prec(V.dtype),
             )  # (B, Pj)
             q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
             w = M[:, :Pj] * (xs[:, j : j + 1] / (q + 1.0)[None, :])
-            total = total + jnp.einsum("bp,bp->b", w, u)
+            total = total + jnp.einsum(
+                "bp,bp->b", w, u, precision=value_prec(ct)
+            )
         return float(math.factorial(rank)) * total
 
     return jax.jit(f)
@@ -378,7 +388,7 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     if r == 0:
         return jnp.broadcast_to(vals[0].astype(ct), (B,))
     if r == 1:
-        return xs @ vals.astype(ct)
+        return jnp.dot(xs, vals.astype(ct), precision=value_prec(ct))
 
     t = A.tables
     ta, tb = t.tri_pairs
@@ -387,7 +397,7 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     tri = tri * (1.0 - 0.5 * diag)[None, :]
 
     if r == 2:
-        return 2.0 * (tri @ vals.astype(ct))
+        return 2.0 * jnp.dot(tri, vals.astype(ct), precision=value_prec(ct))
 
     M, maxel, maxrun = _batched_head_weights(t, xs, r, ct)
     get_V = _barrier_view_getter(vals, r, d)
@@ -407,6 +417,7 @@ def _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct):
             mat,
             (((1,), (contract_axis,)), ((), ())),
             preferred_element_type=ct,
+            precision=value_prec(mat.dtype),
         )
 
     for j in range(d):
@@ -428,7 +439,8 @@ def _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct):
         c2 = c1 * (1.0 / (q + 2) - 1.0)[None, :]
         c3 = c1 * (2.0 / ((q + 2) * (q + 3)) - 1.0 / (q + 2))[None, :]
         total = total + jnp.einsum(
-            "bp,bp->b", M[:, :Pj], c1 * u_full + c2 * u_row + c3 * u_cell
+            "bp,bp->b", M[:, :Pj], c1 * u_full + c2 * u_row + c3 * u_cell,
+            precision=value_prec(ct),
         )
     return float(math.factorial(r)) * total
 

@@ -34,6 +34,7 @@ from ..core.dense import DenseSymmetricTensor
 from ..core.flat import FlatSymmetricTensor
 from ..core.permcls import PermClsSymmetricTensor
 from ..utils import combinatorics as comb
+from ..utils.precision import value_prec
 from ..utils.tables import _check_table, tables
 from . import outer as outer_mod
 
@@ -110,13 +111,15 @@ def _contract_vec_flat_simple(A: FlatSymmetricTensor, x) -> jnp.ndarray:
     if r == 0:
         return A.data[0]
     if r == 1:
-        return A.data @ x.astype(A.dtype)
+        return jnp.dot(A.data, x.astype(A.dtype), precision=value_prec(A.dtype))
     t = A.tables
     w = _egf_weights(t, x, r)
     # The EGF recursion enumerates multisets in colex order; reorder to the
     # gflat storage order through the static permutation.
     w = w[t.colex_perm]
-    return float(math.factorial(r)) * jnp.dot(A.data, w.astype(A.data.dtype))
+    return float(math.factorial(r)) * jnp.dot(
+        A.data, w.astype(A.data.dtype), precision=value_prec(A.data.dtype)
+    )
 
 
 def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
@@ -164,7 +167,9 @@ def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:
                 mono = mono * x[rep_c[:, k]]
             gamma = comb.class_multiplicity(cnts)
             vec_total = vec_total + gamma * jnp.dot(
-                leaf.astype(total.dtype), mono.astype(total.dtype)
+                leaf.astype(total.dtype),
+                mono.astype(total.dtype),
+                precision=value_prec(total.dtype),
             )
         return total + vec_total
     except MemoryError:
@@ -194,7 +199,7 @@ def contract_all_indices_with_vector(symtensor, x) -> jnp.ndarray:
         x = jnp.asarray(x, dtype=A.dtype)
         out = A.data
         for _ in range(A.rank):
-            out = out @ x
+            out = jnp.dot(out, x, precision=value_prec(A.dtype))
         return out
     return _contract_vec_flat(A.toflat(), x)
 
@@ -232,7 +237,10 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
     if A.format == "decomp":
         import string
 
-        v = A.factors @ xs.T.astype(A.dtype)  # (F, B)
+        v = jnp.dot(
+            A.factors, xs.T.astype(A.dtype),
+            precision=value_prec(A.dtype),
+        )  # (F, B)
         k = A.num_indep_factors
         if k == 0:
             return jnp.broadcast_to(A.weights.reshape(()), (xs.shape[0],))
@@ -244,7 +252,10 @@ def contract_all_indices_with_vector_batched(symtensor, xs) -> jnp.ndarray:
             + "->B"
         )
         return jnp.einsum(
-            spec, A.weights, *[v**m for m in A.multiplicities]
+            spec,
+            A.weights,
+            *[v**m for m in A.multiplicities],
+            precision=value_prec(A.dtype),
         )
     return jax.vmap(lambda x: contract_all_indices_with_vector(A, x))(xs)
 
@@ -281,7 +292,9 @@ def contract_all_indices_with_matrix(symtensor, W, **kw):
         out = A.data
         for _ in range(A.rank):
             # contract leading original axis, append new axis at the end
-            out = jnp.tensordot(out, W, axes=[[0], [0]])
+            out = jnp.tensordot(
+                out, W, axes=[[0], [0]], precision=value_prec(A.dtype)
+            )
         return DenseSymmetricTensor._raw(
             A.rank, W.shape[1] if A.rank else A.dim, out
         )
@@ -368,7 +381,11 @@ def contract_tensor_list(
         if rule == "second_half":
             mask = jnp.zeros((d,), dtype=coeff.dtype).at[jnp.asarray(values)].set(1)
             coeff = coeff * mask
-        return FlatSymmetricTensor._raw(m, d, coeff @ X.astype(coeff.dtype))
+        return FlatSymmetricTensor._raw(
+            m, d,
+            jnp.dot(coeff, X.astype(coeff.dtype),
+                    precision=value_prec(coeff.dtype)),
+        )
 
     if n_times == 1:
         # T[I, J] = Σ_i A[sort(I∪i)] χ_i[J]  — one matmul, then the
@@ -379,7 +396,7 @@ def contract_tensor_list(
         if rule == "second_half":
             mask = jnp.zeros((d,), dtype=MA.dtype).at[jnp.asarray(values)].set(1)
             MA = MA * mask[None, :]
-        T = MA @ X  # (N_{r-1}, n_m)
+        T = jnp.dot(MA, X, precision=value_prec(MA.dtype))  # (N_{r-1}, n_m)
         return _combine_bilinear(T, A.rank - 1, m, d)
 
     # general n ≥ 2: peel one contraction index and recurse —

@@ -31,6 +31,7 @@ from ..core.base import SymmetricTensor
 from ..core.dense import DenseSymmetricTensor
 from ..core.flat import FlatSymmetricTensor
 from ..utils import combinatorics as comb
+from ..utils.precision import value_prec
 from ..utils.tables import _check_table, _i32, tables
 
 
@@ -479,7 +480,8 @@ def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk, trim=True):
                 pa = pos_of_T(t_a, ia, ra, creps_T)  # (n_k, B)
                 pb = pos_of_T(t_b, ib, rb, creps_T)
                 term = jnp.einsum(
-                    "c,cb->b", gam, a_data[pa] * b_data[pb]
+                    "c,cb->b", gam, a_data[pa] * b_data[pb],
+                    precision=value_prec(dt),
                 )
                 acc = acc + term
             return acc / n_sub
@@ -686,7 +688,8 @@ def tensordot(a, b, axes=1, stream: bool = None):
         for s in range(n_sub):
             # (n_k, n_out) gathers; weighted sum over contraction multisets
             term = jnp.einsum(
-                "c,co->o", gam, af.data[A_tab[s]] * bf.data[B_tab[s]]
+                "c,co->o", gam, af.data[A_tab[s]] * bf.data[B_tab[s]],
+                precision=value_prec(af.data.dtype),
             )
             acc = term if acc is None else acc + term
         acc = acc / n_sub
