@@ -40,10 +40,18 @@ def main(path):
         return
     buckets = defaultdict(float)
     counts = defaultdict(int)
-    # group per run: timestamps reset when a new basis_change starts
+    # Group per run.  A new run is detected by its FIRST verbose line —
+    # "level 0 block ..." with a small timestamp (process(0, root) is the
+    # first print of every basis_change) — not merely by a timestamp
+    # decrease: a long compile before the new run's first line can push
+    # its timestamp past the previous run's last one, which the old
+    # `t < prev` check misread as run continuation (crediting the whole
+    # cross-run delta to the new run's first phase).
     prev = 0.0
     for t, msg in rows:
-        if t < prev:  # new run
+        # process(0, root) runs exactly once per basis_change, so its
+        # print is an unambiguous run-start sentinel
+        if t < prev or msg.startswith("level 0 block"):  # new run
             prev = 0.0
         buckets[classify(msg)] += t - prev
         counts[classify(msg)] += 1

@@ -9,6 +9,9 @@ jit/vmap/grad-compatible. See SURVEY.md for the reference analysis.
 
 from . import config as _config_module
 from .config import config
+from .config import enable_persistent_compile_cache as _enable_cc
+
+_enable_cc()  # compiled-executable disk cache; SYMTENSOR_COMPILE_CACHE=0 opts out
 from .core import (
     DecompSymmetricTensor,
     DenseSymmetricTensor,

@@ -33,5 +33,57 @@ class Config:
     # Emit a warning whenever an op falls back to a densify path.
     warn_on_densify: bool = True
 
+    # Decomp-format addition auto-compaction: when the block-embedded
+    # weights of a structural add would exceed this many elements AND the
+    # exact standard-basis representation (weights = (dim,)**rank
+    # coefficients, factors = identity) is smaller, the smaller form is
+    # returned.  Bounds the exponential factor growth of long add/tensordot
+    # chains at small dim while leaving genuinely low-rank decompositions
+    # (dim**rank huge) untouched.  0 disables.
+    decomp_autoreduce_elems: int = 65536
+
 
 config = Config()
+
+
+def enable_persistent_compile_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a local directory.
+
+    Full-size programs compile in minutes through the axon remote-compile
+    helper, and the worker-side cache is lost on every TPU-worker crash
+    (measured: 573 s of window-1 compiles on a cold worker at the rank-6
+    dim-100 flagship).  The JAX persistent cache stores the *compiled
+    executable* on local disk keyed by HLO hash, and measured hits through
+    the axon backend load in ~0.15 s (benchmarks/compile_cache_probe.py)
+    — so each distinct program compiles once per machine, not once per
+    worker lifetime.
+
+    Called at package import.  Controls:
+    - ``SYMTENSOR_COMPILE_CACHE=<dir>`` overrides the location;
+    - ``SYMTENSOR_COMPILE_CACHE=0`` (or ``off``) disables;
+    - a user-set ``jax_compilation_cache_dir`` is left untouched.
+
+    Returns the cache dir in use, or None when disabled/unavailable.
+    """
+    import os
+
+    env = os.environ.get("SYMTENSOR_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none", "disable"):
+        return None
+    try:
+        import jax
+
+        current = jax.config.jax_compilation_cache_dir
+        if current:
+            return current
+        path = env or os.path.join(
+            os.path.expanduser("~"), ".cache", "symtensor_tpu", "jax_cache"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # anything under a second is cheaper to recompile than to store
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return path
+    except Exception as e:  # never let cache plumbing break imports
+        logger.debug("persistent compile cache unavailable: %s", e)
+        return None

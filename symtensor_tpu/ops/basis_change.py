@@ -1071,6 +1071,21 @@ def basis_change_packed(
             if ":" in wr:
                 lo_s, hi_s = wr.split(":", 1)
                 win_rng = (int(lo_s), int(hi_s))
+                # ALWAYS loud (not just verbose): if this attribution
+                # knob leaks into a production shell the result tensor is
+                # silently truncated and only accuracy checks would
+                # notice
+                import sys as _sys
+
+                print(
+                    "symtensor_tpu: PARTIAL OUTPUT — "
+                    f"SYMTENSOR_BASIS_ROOT_WINDOW_RANGE={wr!r} skips every "
+                    f"root window with b_lo outside [{win_rng[0]}, "
+                    f"{win_rng[1]}); the returned tensor is incomplete "
+                    "(attribution knob, not for production)",
+                    file=_sys.stderr,
+                    flush=True,
+                )
             for b_lo in range(0, d_out, Rc):
                 b_hi = min(b_lo + Rc, d_out)
                 if win_rng and not (win_rng[0] <= b_lo < win_rng[1]):

@@ -25,6 +25,16 @@ precision (`/root/reference/symtensor/symalg.py` is plain NumPy); matching
 its accuracy by default is part of parity. Users who want bf16 MXU speed
 opt in by *storing* bf16 (the premul-views batched route) or via the env
 knob / global flag.
+
+.. caution:: **The policy is read at TRACE time and then baked into cached
+   programs.** Callers are ``lru_cache``'d jitted builders keyed only on
+   shape-ish arguments (rank, dim, dtype), so flipping
+   ``SYMTENSOR_VALUE_PRECISION`` or entering ``jax.default_matmul_precision``
+   *after* an op has already traced is silently ignored for that op — the
+   cached executable keeps whatever precision it was traced with.  Set the
+   env var before first use of an op (benchmarks/precision_probe.py calls
+   ``cache_clear()`` on the builders between settings for exactly this
+   reason).
 """
 
 from __future__ import annotations

@@ -54,6 +54,21 @@ def test_policy_respects_global_flag(monkeypatch):
         jax.config.update("jax_default_matmul_precision", None)
 
 
+def _assert_all_dots_highest(hlo: str):
+    """Every dot in the lowered StableHLO must carry HIGHEST precision.
+
+    lower().as_text() emits StableHLO ops like
+      %5 = stablehlo.dot_general %a, %b, ..., precision = [HIGHEST, HIGHEST]
+    DEFAULT-precision dots print no precision attribute.  Matching the
+    op name (not legacy HLO " dot(" syntax, which never appears) and
+    requiring a nonzero match count keeps this assertion from going
+    vacuous if the text format shifts again."""
+    dot_lines = [ln for ln in hlo.splitlines() if "dot_general" in ln]
+    assert dot_lines, "no dot_general ops found in lowered program"
+    for line in dot_lines:
+        assert "HIGHEST" in line, line
+
+
 @pytest.mark.parametrize("fmt", ["flat", "permcls"])
 def test_vmapped_eval_hlo_carries_highest(fmt, rng):
     r, d = 4, 6
@@ -64,14 +79,7 @@ def test_vmapped_eval_hlo_carries_highest(fmt, rng):
             lambda xi: symalg.contract_all_indices_with_vector(A, xi)
         )(xb)
     )
-    hlo = f.lower(xs).as_text()
-    # every dot in the vmapped program must run at HIGHEST (f32 storage)
-    assert "highest" in hlo.lower()
-    # DEFAULT-precision dots print no operand_precision attribute; make
-    # sure none of the dots slipped through without one
-    for line in hlo.splitlines():
-        if " dot(" in line or " dot_general(" in line:
-            assert "highest" in line.lower(), line
+    _assert_all_dots_highest(f.lower(xs).as_text())
 
 
 def test_batched_kernel_hlo_carries_highest(rng):
@@ -81,9 +89,7 @@ def test_batched_kernel_hlo_carries_highest(rng):
     A = _make(r, d, rng, jnp.float32, "flat")
     xs = jnp.asarray(rng.normal(size=(8, d)), dtype=jnp.float32)
     hlo = jax.jit(lambda xb: poly_eval_flat_batched(A, xb)).lower(xs).as_text()
-    for line in hlo.splitlines():
-        if " dot(" in line or " dot_general(" in line:
-            assert "highest" in line.lower(), line
+    _assert_all_dots_highest(hlo)
 
 
 def test_vmapped_matches_eager(rng):
