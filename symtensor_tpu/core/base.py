@@ -19,6 +19,7 @@ Design deltas vs the reference's ``SymmetricTensor`` ABC
 
 from __future__ import annotations
 
+import itertools
 import math
 import warnings
 from typing import Any, Iterator, Optional, Sequence, Tuple, Union
@@ -269,17 +270,40 @@ class SymmetricTensor:
 
     @property
     def flat(self) -> Iterator:
-        """All d^r values in dense C-order (reference base.py:888). Host
-        generator over the densified array — small tensors only."""
-        return iter(np.asarray(self.todense()).reshape(-1))
+        """All d^r component values, each independent component repeated
+        by its multiplicity γ, in storage order.  Matches the reference
+        contract (base.py:888-899): the order deliberately differs from
+        NumPy's C-order ``flat`` and is zippable with :attr:`flat_index`.
+        Streams straight from packed storage — never materializes d^r
+        (reference PermCls does the same, permcls_symtensor.py:903), so
+        iteration starts immediately even at flagship sizes.  Dense
+        storage overrides with the native C-order view."""
+
+        def gen():
+            vals = np.asarray(self.toflat().data)
+            gamma = np.asarray(self.tables.multiplicity)
+            for i in range(vals.shape[0]):
+                v = vals[i]
+                for _ in range(int(gamma[i])):
+                    yield v
+
+        return gen()
 
     @property
     def flat_index(self) -> Iterator[Tuple[int, ...]]:
-        shape = self.shape
-        return (
-            tuple(int(v) for v in np.unravel_index(i, shape))
-            for i in range(self.dense_size)
-        )
+        """Each index tuple exactly once, grouped per independent
+        component (every distinct permutation of its representative, in
+        sorted order), aligned with :attr:`flat` (reference
+        base.py:900-908, permcls flat_index permcls_symtensor.py:921)."""
+
+        def gen():
+            rep = self.tables.rep_np()
+            for row in rep:
+                base_idx = tuple(int(v) for v in row)
+                for p in sorted(set(itertools.permutations(base_idx))):
+                    yield p
+
+        return gen()
 
     # --------------------------------------------------------- arithmetic
 

@@ -145,6 +145,53 @@ class DecompSymmetricTensor(SymmetricTensor):
         )
 
     @classmethod
+    def from_dense(
+        cls,
+        arr,
+        symmetrize: bool = False,
+        check: bool = True,
+        rtol: float = 1e-5,
+        atol: float = None,
+    ) -> "DecompSymmetricTensor":
+        """Exact dense import at any rank (the reference decomp format has
+        no dense importer at all — tensors are built from factors).
+
+        rank ≤ 1 use the trivial one-factor form; rank 2 eigendecomposes
+        (minimal factor count); rank ≥ 3 uses the standard-basis
+        decomposition — weights = the dense coefficient tensor, factors =
+        identity, multiplicities all-1 — which is exact for any symmetric
+        input (and what `reduce_factors` normalizes to).  Symmetry
+        validation mirrors the other formats' `from_dense`."""
+        from ..ops.symmetrize import is_symmetric as _is_symmetric
+        from ..ops.symmetrize import symmetrize as _symmetrize
+
+        arr = jnp.asarray(arr)
+        rank, dim = arr.ndim, (arr.shape[0] if arr.ndim else 1)
+        if any(s != dim for s in arr.shape):
+            raise ValueError(
+                f"dense data must be hypercubic; got {arr.shape}"
+            )
+        if symmetrize:
+            arr = _symmetrize(arr)
+        elif check and rank > 1 and not isinstance(arr, jax.core.Tracer):
+            if not _is_symmetric(arr, rtol=rtol, atol=atol):
+                raise ValueError(
+                    "data is not symmetric (pass symmetrize=True to project)"
+                )
+        if rank == 0:
+            return cls._raw(0, 1, arr.reshape(()), jnp.zeros((1, 1),
+                                                             arr.dtype), ())
+        if rank == 1:
+            return cls._raw(
+                1, dim, jnp.ones((1,), arr.dtype), arr[None, :], (1,)
+            )
+        if rank == 2:
+            return cls.from_matrix(arr, cutoff=0.0)
+        return cls._raw(
+            rank, dim, arr, jnp.eye(dim, dtype=arr.dtype), (1,) * rank
+        )
+
+    @classmethod
     def zeros(cls, rank: int, dim: int, dtype=None) -> "DecompSymmetricTensor":
         return cls(rank=rank, dim=dim, dtype=dtype)
 
@@ -293,6 +340,30 @@ class DecompSymmetricTensor(SymmetricTensor):
             return FlatSymmetricTensor._raw(0, 1, self.weights.reshape(1))
         t = tables(r, d)
         rep = t.rep  # (n, r) int32
+        if k == r:
+            # all-ones multiplicities: the r! position chains are exactly
+            # the axis permutations of the weights, so symmetrizing the
+            # weights ONCE collapses the chain average into a single
+            # einsum — r! transposes of the (F,)**r weights instead of r!
+            # n-sized einsums (the standard-basis tensors produced by
+            # from_dense/reduce_factors/add auto-compaction all land here)
+            from ..ops.symmetrize import symmetrize as _symmetrize
+
+            wsym = _symmetrize(self.weights)
+            fT = self.factors
+            spec = (
+                _LETTERS[:r]
+                + ","
+                + ",".join(f"{c}n" for c in _LETTERS[:r])
+                + "->n"
+            )
+            vals = jnp.einsum(
+                spec,
+                wsym,
+                *[fT[:, rep[:, p]] for p in range(r)],
+                precision=value_prec(self.dtype),
+            )
+            return FlatSymmetricTensor._raw(r, d, vals)
         chains = self._subset_chains()
         spec_in = [_LETTERS[:k]] + [f"{c}n" for c in _LETTERS[:k]]
         spec = ",".join(spec_in) + "->n"
@@ -371,10 +442,50 @@ class DecompSymmetricTensor(SymmetricTensor):
     def __neg__(self):
         return self.scale(-1.0)
 
+    def _to_standard_basis(self) -> "DecompSymmetricTensor":
+        """Exact equivalent with factors = identity: weights become the
+        (dim,)**rank coefficient tensor (unsymmetrized — symmetrization
+        stays lazy), multiplicities all-1.  The normal form
+        `reduce_factors` targets at rank ≥ 3, usable at any rank ≥ 1."""
+        r, k = self.rank, self.num_indep_factors
+        if r == 0 or (
+            self.multiplicities == (1,) * r
+            and self.num_factors == self.dim
+        ):
+            return self
+        if k + r > len(_LETTERS):
+            raise NotImplementedError("rank + groups exceeds einsum letters")
+        lw = _LETTERS[:k]
+        ls = _LETTERS[k : k + r]
+        specs, ops = [lw], [self.weights]
+        slot = 0
+        for t, mt in enumerate(self.multiplicities):
+            for _ in range(mt):
+                specs.append(lw[t] + ls[slot])
+                ops.append(self.factors)
+                slot += 1
+        new_w = jnp.einsum(
+            ",".join(specs) + "->" + ls,
+            *ops,
+            precision=value_prec(self.dtype),
+        )
+        return DecompSymmetricTensor._raw(
+            r, self.dim, new_w, jnp.eye(self.dim, dtype=self.dtype),
+            (1,) * r,
+        )
+
     def add_decomp(self, other: "DecompSymmetricTensor") -> "DecompSymmetricTensor":
         """Exact structural addition: match multiplicities, concatenate
         factors, block-embed weights (reference symmetric_add,
-        decomp_symmtensor.py:1151)."""
+        decomp_symmtensor.py:1151).
+
+        Auto-compaction (beyond-reference): long add chains grow the
+        block-embedded weights as (F_a+F_b)**k — exponential in chain
+        length.  When that exceeds ``config.decomp_autoreduce_elems`` and
+        the exact standard-basis form (dim**rank coefficients) is
+        SMALLER, the sum is returned in standard basis instead; genuinely
+        low-rank decompositions (dim**rank ≫ block size) are never
+        touched."""
         if (self.rank, self.dim) != (other.rank, other.dim):
             raise ValueError("rank/dim mismatch")
         if self.rank == 0:
@@ -384,6 +495,23 @@ class DecompSymmetricTensor(SymmetricTensor):
                 0, self.dim, self.weights + other.weights, self.factors, ()
             )
         m = self.find_common_multiplicities(other)
+        from ..config import config as _config
+
+        lim = _config.decomp_autoreduce_elems
+        block_elems = (self.num_factors + other.num_factors) ** len(m)
+        std_elems = self.dim**self.rank
+        if 0 < lim < block_elems and std_elems < block_elems:
+            a_std = self._to_standard_basis()
+            b_std = other._to_standard_basis()
+            return self._raw(
+                self.rank,
+                self.dim,
+                a_std.weights + b_std.weights,
+                a_std.factors.astype(
+                    jnp.result_type(self.dtype, other.dtype)
+                ),
+                a_std.multiplicities,
+            )
         a = self.match_multiplicities(m)
         b = other.match_multiplicities(m)
         Fa, Fb = a.num_factors, b.num_factors
@@ -421,71 +549,75 @@ class DecompSymmetricTensor(SymmetricTensor):
         )
 
     def tensordot_decomp(self, other: "DecompSymmetricTensor", axes: int = 1):
-        """Symmetrized tensordot staying in decomposed form.
+        """Symmetrized tensordot staying in decomposed form — exact for
+        ANY multiplicity patterns and any number of contracted axes.
 
-        axes=0 → outer; axes=1 → exact slot-pair expansion (works for any
-        multiplicity patterns — lifts the reference's restriction);
-        axes=k≥2 → closed form via Gram powers when both operands have a
-        single independent factor group (reference decomp_symmtensor.py:1411
-        supports exactly that case)."""
+        The reference supports axes=1 only when `other` is single-group
+        and axes≥2 only when BOTH operands are single-group
+        (decomp_symmtensor.py:1419-1423); this closed form lifts both
+        restrictions.  Derivation: the symmetrized operands are averages
+        over factor-group arrangements, so contracting q slots pairs the
+        contracted positions of A and B.  Group the pairings by the
+        "pairing table" n[t, s] = #contracted slots drawn from A-group t
+        and B-group s (row sums c, column sums e).  Counting arrangements
+        gives, with m/μ the multiplicity patterns,
+
+            C = Σ_n  coef(n) · Σ_{a,b} W_A[a] W_B[b]
+                     ∏_{t,s} (f_{a_t}·g_{b_s})^{n_ts}
+                     ⊗_t f_{a_t}^{⊗(m_t−c_t)} ⊗_s g_{b_s}^{⊗(μ_s−e_s)}
+
+            coef(n) = multinom(ra−q; m−c) · multinom(rb−q; μ−e)
+                      · multinom(q; n) / (multinom(ra; m)·multinom(rb; μ))
+
+        (q=1 reduces to the familiar (m_t/ra)·(μ_s/rb) slot-pair
+        weights; single-group operands admit exactly one table with
+        coef 1, recovering the reference's Gram-power formula.)  Each
+        table contributes one decomp term; terms combine via exact
+        structural addition."""
         if self.dim != other.dim:
             raise ValueError("dim mismatch")
         if axes == 0:
             return self.outer_decomp(other)
         ra, rb = self.rank, other.rank
-        if axes > min(ra, rb):
+        q = int(axes)
+        if q > min(ra, rb):
             raise ValueError("too many axes")
+        w_dt = jnp.result_type(self.dtype, other.dtype)
         G = jnp.dot(
-            self.factors, other.factors.T,
-            precision=value_prec(self.dtype),
+            self.factors.astype(w_dt), other.factors.astype(w_dt).T,
+            precision=value_prec(w_dt),
         )  # (Fa, Fb) Gram matrix
 
-        if self.num_indep_factors == 1 and other.num_indep_factors == 1:
-            # T = Σ λ_a f_a^{⊗ra}, S = Σ μ_b g_b^{⊗rb}
-            # T ·_k S = Σ_ab λ_a μ_b (f_a·g_b)^k f^{⊗ra−k} ⊗ g^{⊗rb−k}
-            w = (
-                self.weights[:, None]
-                * other.weights[None, :]
-                * G**axes
-            )
-            r_out = ra + rb - 2 * axes
-            if r_out == 0:
-                return w.sum()
-            mult = tuple(m for m in (ra - axes, rb - axes) if m > 0)
-            factors = jnp.concatenate([self.factors, other.factors], axis=0)
-            Fa, Fb = self.num_factors, other.num_factors
-            if len(mult) == 2:
-                big = jnp.zeros((Fa + Fb, Fa + Fb), dtype=w.dtype)
-                big = big.at[:Fa, Fa:].set(w)
-                return self._raw(r_out, self.dim, big, factors, mult)
-            if ra - axes > 0:
-                return self._raw(
-                    r_out, self.dim, w.sum(1), self.factors, mult
+        m, mu = self.multiplicities, other.multiplicities
+        denom = comb.multinom(ra, m) * comb.multinom(rb, mu)
+        terms = []
+        scalar = None
+        for table in _pairing_tables(m, mu, q):
+            c = [0] * len(m)
+            e = [0] * len(mu)
+            for (t, s), p in table:
+                c[t] += p
+                e[s] += p
+            coef = (
+                comb.multinom(
+                    ra - q, tuple(mt - ct for mt, ct in zip(m, c))
                 )
-            return self._raw(r_out, self.dim, w.sum(0), other.factors, mult)
-
-        if axes == 1:
-            # contract one slot of each: average over which factor group the
-            # contracted index belongs to on each side
-            terms = []
-            for t_i, mt in enumerate(self.multiplicities):
-                for s_i, ms in enumerate(other.multiplicities):
-                    scale = (mt / ra) * (ms / rb)
-                    a_red = _reduce_mult(self, t_i)
-                    b_red = _reduce_mult(other, s_i)
-                    # weights coupling through G along the contracted groups
-                    term = _couple(a_red, b_red, self, other, t_i, s_i, G,
-                                   scale)
-                    terms.append(term)
-            out = terms[0]
-            for t in terms[1:]:
-                out = out.add_decomp(t)
-            return out
-
-        raise NotImplementedError(
-            "decomp tensordot with axes ≥ 2 needs single-multiplicity "
-            "operands; convert with .toflat() for the general case"
-        )
+                * comb.multinom(
+                    rb - q, tuple(ms - es for ms, es in zip(mu, e))
+                )
+                * comb.multinom(q, tuple(p for _, p in table))
+            ) / denom
+            term = _couple_table(self, other, table, c, e, G, coef, w_dt)
+            if isinstance(term, DecompSymmetricTensor):
+                terms.append(term)
+            else:
+                scalar = term if scalar is None else scalar + term
+        if ra + rb - 2 * q == 0:
+            return scalar
+        out = terms[0]
+        for t in terms[1:]:
+            out = out.add_decomp(t)
+        return out
 
     # ----------------------------------------------- domain contractions
 
@@ -519,71 +651,124 @@ class DecompSymmetricTensor(SymmetricTensor):
         )
 
     def reduce_factors(self, cutoff: float = 1e-12, top_k=None):
-        """Re-decompose a rank-2 single-group tensor through eigh when the
-        factor count exceeds the dimension (reference
-        decomp_symmtensor.py:915)."""
-        if self.rank != 2:
-            raise NotImplementedError("reduce_factors supports rank 2")
-        return DecompSymmetricTensor.from_matrix(
-            self.todense(), cutoff=cutoff, top_k=top_k
+        """Re-express the decomposition with at most `dim` factors.
+
+        rank 1: densify to the single vector (reference
+        decomp_symmtensor.py:920-922).  rank 2: eigendecomposition with
+        zero-eigenvalue pruning (reference :923-927; cutoff/top_k apply).
+        rank ≥ 3: when num_factors > dim, contract the weights through the
+        factors onto the standard basis — weights become the (d,)*rank
+        coefficient tensor, factors the identity, multiplicities all-1.
+        The reference hand-writes this per multiplicity pattern for ranks
+        3-4 only (:929-968); here one generated einsum covers every rank
+        and pattern.  Exact: the unsymmetrized product tensor is unchanged
+        and symmetrization is lazy in this format."""
+        r = self.rank
+        if r == 0:
+            return self
+        if r == 1:
+            vals = self.toflat().data  # (d,)
+            return DecompSymmetricTensor._raw(
+                1,
+                self.dim,
+                jnp.ones((1,), dtype=self.dtype),
+                vals[None, :],
+                (1,),
+            )
+        if r == 2:
+            return DecompSymmetricTensor.from_matrix(
+                self.todense(), cutoff=cutoff, top_k=top_k
+            )
+        if self.num_factors <= self.dim:
+            return self  # nothing to gain (reference gates the same way)
+        k = self.num_indep_factors
+        if k + r > len(_LETTERS):
+            raise NotImplementedError("rank + groups exceeds einsum letters")
+        lw = _LETTERS[:k]
+        ls = _LETTERS[k : k + r]
+        specs = [lw]
+        ops = [self.weights]
+        slot = 0
+        for t, mt in enumerate(self.multiplicities):
+            for _ in range(mt):
+                specs.append(lw[t] + ls[slot])
+                ops.append(self.factors)
+                slot += 1
+        new_w = jnp.einsum(
+            ",".join(specs) + "->" + ls,
+            *ops,
+            precision=value_prec(self.dtype),
+        )
+        return DecompSymmetricTensor._raw(
+            r,
+            self.dim,
+            new_w,
+            jnp.eye(self.dim, dtype=self.dtype),
+            (1,) * r,
         )
 
 
-def _reduce_mult(t: DecompSymmetricTensor, pos: int):
-    """Multiplicity pattern of `t` with m_pos decremented (dropping zeros),
-    plus the bookkeeping of whether the group survives."""
-    m = list(t.multiplicities)
-    m[pos] -= 1
-    survives = m[pos] > 0
-    if not survives:
-        m.pop(pos)
-    return tuple(m), survives
+def _pairing_tables(m, mu, q):
+    """All ways to draw the q contracted slot pairs from A-groups × B-groups:
+    len(m)×len(mu) nonnegative integer tables with total q, row sums ≤ m,
+    column sums ≤ mu.  Yielded as tuples of ((t, s), count) with count > 0."""
+    ka, kb = len(m), len(mu)
+    cells = [(t, s) for t in range(ka) for s in range(kb)]
+    rows, cols = [0] * ka, [0] * kb
+
+    def rec(idx, remaining, cur):
+        if remaining == 0:
+            yield tuple(cur)
+            return
+        if idx == len(cells):
+            return
+        t, s = cells[idx]
+        hi = min(remaining, m[t] - rows[t], mu[s] - cols[s])
+        for v in range(hi, -1, -1):
+            rows[t] += v
+            cols[s] += v
+            if v:
+                cur.append(((t, s), v))
+            yield from rec(idx + 1, remaining - v, cur)
+            if v:
+                cur.pop()
+            rows[t] -= v
+            cols[s] -= v
+
+    yield from rec(0, q, [])
 
 
-def _couple(a_red, b_red, A, B, t_i, s_i, G, scale):
-    """One term of the axes=1 decomp tensordot: contract factor group t_i of
-    A with group s_i of B through the Gram matrix."""
-    (ma, a_survives) = a_red
-    (mb, b_survives) = b_red
+def _couple_table(A, B, table, c, e, G, coef, w_dt):
+    """One pairing-table term of the general decomp tensordot: couple
+    A-group t to B-group s through G**n_ts for every table entry, sum out
+    fully-consumed groups, block-embed the surviving weights."""
     ka, kb = A.num_indep_factors, B.num_indep_factors
     Fa, Fb = A.num_factors, B.num_factors
     la = _LETTERS[:ka]
     lb = _LETTERS[ka : ka + kb]
-    spec = f"{la},{lb},{la[t_i]}{lb[s_i]}->{la}{lb}"
-    w = jnp.einsum(
-        spec, A.weights, B.weights, G.astype(A.weights.dtype),
-        precision=value_prec(A.weights.dtype),
+    specs = [la, lb]
+    ops = [A.weights.astype(w_dt), B.weights.astype(w_dt)]
+    for (t, s), p in table:
+        specs.append(la[t] + lb[s])
+        ops.append(G**p)
+    spec = ",".join(specs) + "->" + la + lb
+    w = jnp.einsum(spec, *ops, precision=value_prec(w_dt)) * w_dt.type(coef)
+    mult_a = [A.multiplicities[t] - c[t] for t in range(ka)]
+    mult_b = [B.multiplicities[s] - e[s] for s in range(kb)]
+    dead = tuple(
+        [t for t in range(ka) if mult_a[t] == 0]
+        + [ka + s for s in range(kb) if mult_b[s] == 0]
     )
-    w = w * scale
-    # sum out contracted groups that vanished; keep as diagonal otherwise
-    # (a surviving contracted group still refers to its factor index)
-    out_axes_a = [i for i in range(ka) if (i != t_i or a_survives)]
-    out_axes_b = [i for i in range(kb) if (i != s_i or b_survives)]
-    if not a_survives:
-        w = w.sum(axis=t_i, keepdims=True)
-    if not b_survives:
-        w = w.sum(axis=ka + s_i, keepdims=True)
-    # embed into concatenated factor space
-    mult = tuple(
-        [A.multiplicities[i] - (i == t_i) for i in out_axes_a]
-        + [B.multiplicities[i] - (i == s_i) for i in out_axes_b]
-    )
-    k_out = len(mult)
-    factors = jnp.concatenate([A.factors, B.factors], axis=0)
-    big = jnp.zeros((Fa + Fb,) * k_out, dtype=w.dtype)
-    # squeeze dropped axes, then block-embed
-    squeeze_axes = []
-    if not a_survives:
-        squeeze_axes.append(t_i)
-    if not b_survives:
-        squeeze_axes.append(ka + s_i)
-    w = w.reshape([s for i, s in enumerate(w.shape) if i not in squeeze_axes])
-    slicer = tuple(slice(0, Fa) for _ in out_axes_a) + tuple(
-        slice(Fa, Fa + Fb) for _ in out_axes_b
-    )
-    if k_out == 0:
+    if dead:
+        w = w.sum(axis=dead)
+    mult = tuple(v for v in mult_a + mult_b if v > 0)
+    if not mult:
         return w.reshape(())
-    big = big.at[slicer].set(w)
-    return DecompSymmetricTensor._raw(
-        sum(mult), A.dim, big, factors, mult
+    n_a_out = sum(1 for v in mult_a if v > 0)
+    factors = jnp.concatenate([A.factors, B.factors], axis=0)
+    big = jnp.zeros((Fa + Fb,) * len(mult), dtype=w.dtype)
+    slicer = tuple(slice(0, Fa) for _ in range(n_a_out)) + tuple(
+        slice(Fa, Fa + Fb) for _ in range(len(mult) - n_a_out)
     )
+    big = big.at[slicer].set(w)
+    return DecompSymmetricTensor._raw(sum(mult), A.dim, big, factors, mult)

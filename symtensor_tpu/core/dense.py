@@ -107,6 +107,20 @@ class DenseSymmetricTensor(SymmetricTensor):
     def toflat(self) -> FlatSymmetricTensor:
         return FlatSymmetricTensor.from_dense(self.data, check=False)
 
+    @property
+    def flat(self):
+        """Native C-order view — dense storage matches NumPy's ``flat``
+        exactly (reference dense_symtensor.py:266)."""
+        return iter(np.asarray(self.data).reshape(-1))
+
+    @property
+    def flat_index(self):
+        shape = self.shape
+        return (
+            tuple(int(v) for v in np.unravel_index(i, shape))
+            for i in range(self.dense_size)
+        )
+
     # ----------------------------------------------------------- indexing
 
     def class_values(self, cls) -> jnp.ndarray:

@@ -417,6 +417,32 @@ def _table_guard_limit() -> int:
     return config.max_table_entries
 
 
+def _stream_pos_of_T(t_fmt, part_T, rank_part, creps_T, k, n_k):
+    """Gather positions for one subset of the streamed tensordot block:
+    part_T carries (rank_part − k, n_k, B) output-part index components on
+    the leading axis; append the contraction multiset, sort along axis 0
+    (a compare-exchange network over (n_k, B) planes), rank."""
+    if k == 1 and rank_part >= 2:
+        # single-element insert: creps are the d singletons 0..d−1 in
+        # colex order, so the sort-free insert ranking applies
+        # (tables.position_insert_jnp_T) — no (rank, n_k, B) sort
+        # stack, no per-element Pascal gathers
+        return t_fmt.position_insert_jnp_T(part_T[:, 0, :]).T
+    full_T = jnp.concatenate(
+        [
+            part_T,
+            jnp.broadcast_to(
+                creps_T[:, :, None], (k, n_k, part_T.shape[2])
+            ),
+        ],
+        axis=0,
+    )
+    full_T = jnp.sort(full_T, axis=0)
+    if rank_part == 1:
+        return full_T[0]
+    return t_fmt.position_jnp_T(full_T)
+
+
 @lru_cache(maxsize=None)
 def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk, trim=True):
     """Memoized jitted streaming program for one shape signature: a fresh
@@ -436,28 +462,7 @@ def _streamed_jitted(ra, rb, k, dim, dt_str, B, nblk, trim=True):
     dt = jnp.dtype(dt_str)
 
     def pos_of_T(t_fmt, part_T, rank_part, creps_T):
-        # part_T: (rank_part − k, n_k, B) output-part index components on
-        # the leading axis; append the contraction multiset, sort along
-        # axis 0 (a compare-exchange network over (n_k, B) planes), rank.
-        if k == 1 and rank_part >= 2:
-            # single-element insert: creps are the d singletons 0..d−1 in
-            # colex order, so the sort-free insert ranking applies
-            # (tables.position_insert_jnp_T) — no (rank, n_k, B) sort
-            # stack, no per-element Pascal gathers
-            return t_fmt.position_insert_jnp_T(part_T[:, 0, :]).T
-        full_T = jnp.concatenate(
-            [
-                part_T,
-                jnp.broadcast_to(
-                    creps_T[:, :, None], (k, n_k, part_T.shape[2])
-                ),
-            ],
-            axis=0,
-        )
-        full_T = jnp.sort(full_T, axis=0)
-        if rank_part == 1:
-            return full_T[0]
-        return t_fmt.position_jnp_T(full_T)
+        return _stream_pos_of_T(t_fmt, part_T, rank_part, creps_T, k, n_k)
 
     def fn(a_data, b_data, rep_pad, creps_T, gam):
         gam = gam.astype(dt)

@@ -219,17 +219,38 @@ def poly_eval_batched_sharded_grouped(
     )
 
 
-def tensordot_sharded(a, b, axes: int, mesh: Mesh, axis: str = "tp"):
+def tensordot_sharded(
+    a, b, axes: int, mesh: Mesh, axis: str = "tp",
+    operands: str = "replicated",
+):
     """Symmetrized streamed tensordot with OUTPUT BLOCKS partitioned over
     a mesh axis.
 
     Every device ranks its blocks' gather positions in-kernel (closed-form
-    gflat addressing — no index tables cross the wire) and gathers from
-    replicated operands, so the only communication is the output
-    all-gather; the work is embarrassingly parallel over ICI. Semantics
-    match ops.outer.tensordot(..., stream=True) (reference
-    symalg.py:424-459).
+    gflat addressing — no index tables cross the wire).  Two operand
+    placements:
+
+    - ``operands="replicated"`` (default): operands are replicated to
+      every device; the only communication is the output all-gather.
+      Compute scales with the axis; memory does not.
+    - ``operands="sharded"``: the operand value axes stay SHARDED over
+      `axis` — per-device residency is 1/n_axis of each operand (the
+      memory-scaling mode for operands too big for one HBM).  Each output
+      block accumulates its gathers over a ring: n_axis
+      ppermute-rotate + masked-local-gather steps reassemble exactly the
+      values the block needs.  Communication model: each device moves the
+      full operand bytes over ICI once per LOCAL block (nblk/n_axis
+      blocks), instead of holding them resident — the classic
+      memory-for-bandwidth trade; ICI rides at link rate since transfers
+      are whole-shard ppermutes.
+
+    Semantics match ops.outer.tensordot(..., stream=True) (reference
+    symalg.py:424-459, which has no distributed analog at all).
     """
+    if operands == "sharded":
+        return _tensordot_sharded_operands(a, b, axes, mesh, axis)
+    if operands != "replicated":
+        raise ValueError(f"unknown operands mode {operands!r}")
     from functools import partial as _partial
 
     from jax.experimental.shard_map import shard_map
@@ -297,6 +318,162 @@ def tensordot_sharded(a, b, axes: int, mesh: Mesh, axis: str = "tp"):
     )
     out = fn(
         af.data, bf.data, rep_pad.reshape(nblk, B * r_out), creps_T, gam
+    )
+    out = out.reshape(-1)[:n_out]
+    if r_out == 0:
+        return FlatSymmetricTensor._raw(0, 1, out[:1])
+    return FlatSymmetricTensor._raw(r_out, dim, out)
+
+
+def _tensordot_sharded_operands(a, b, axes: int, mesh: Mesh, axis: str):
+    """Memory-scaling streamed tensordot: operand value axes sharded over
+    `axis`; each output block ring-accumulates its gathered values.
+
+    Per ring step every device holds ONE rotating shard of each operand;
+    positions falling inside the resident shard are gathered locally (the
+    rest masked to zero), and after n_axis ppermute rotations every
+    block's (n_sub, n_k, B) gather workspaces are complete.  Peak
+    per-device residency: operands/n_axis + the block workspaces — the
+    full operands never exist on any device.  See `tensordot_sharded` for
+    the communication model."""
+    import itertools as _it
+
+    from ..ops import outer as outer_mod
+    from ..ops.outer import _stream_pos_of_T
+    from ..utils.precision import value_prec
+    from ..utils.tables import tables
+
+    af, _ = outer_mod._as_flat(a)
+    bf, _ = outer_mod._as_flat(b)
+    ra, rb, k = af.rank, bf.rank, int(axes)
+    if k > min(ra, rb) or k < 1:
+        raise ValueError(
+            f"cannot contract {k} axes between ranks {ra} and {rb}"
+        )
+    if af.dim != bf.dim:
+        raise ValueError(f"dim mismatch: {af.dim} vs {bf.dim}")
+    dim = af.dim
+    ka, kb = ra - k, rb - k
+    r_out = ka + kb
+    t_out = tables(r_out, dim)
+    t_a, t_b = tables(ra, dim), tables(rb, dim)
+    n_out = t_out.n
+    ndev = mesh.shape[axis]
+    dt = jnp.dtype(af.dtype)
+
+    tk = tables(k, dim)
+    creps_T = tk._memo(
+        "creps_T", lambda: jnp.asarray(tk.rep_np().astype(np.int32).T)
+    )
+    gam = tk.multiplicity
+    n_k = creps_T.shape[1]
+    subsets = list(_it.combinations(range(r_out), ka))
+    n_sub = len(subsets)
+    idt = outer_mod._stream_idt(dim)
+
+    # block size: the ring keeps TWO (n_sub, n_k, B) workspaces resident
+    per_elem = max(1, 2 * n_sub * n_k)
+    B = max(1, min(n_out, outer_mod._streamed_block_elems() // per_elem))
+    nblk = -(-n_out // B)
+    nblk = -(-nblk // ndev) * ndev
+    pad = nblk * B - n_out
+
+    rep_flat = jnp.asarray(
+        t_out.rep_np().astype(idt).reshape(-1)
+        if r_out > 0
+        else np.zeros((0,), idt)
+    )
+    if pad:
+        rep_flat = jnp.concatenate(
+            [rep_flat, jnp.zeros((pad * r_out,), rep_flat.dtype)]
+        )
+
+    # pad the operand value axes so they split evenly over the mesh axis
+    def pad_to(v, parts):
+        p = _pad_len(v.shape[0], parts)
+        return (
+            jnp.concatenate([v, jnp.zeros((p,), v.dtype)]) if p else v
+        ), (v.shape[0] + p) // parts
+
+    a_pad, La = pad_to(af.data, ndev)
+    b_pad, Lb = pad_to(bf.data, ndev)
+
+    def body(a_sh, b_sh, rp, ct, gm):
+        # a_sh: (La,) local shard; rp: (nblk/ndev, B·r_out) local blocks
+        gm_dt = gm.astype(dt)
+        me = jax.lax.axis_index(axis)
+
+        def blk(rep_blk_flat):
+            rep_T = (
+                rep_blk_flat.reshape(B, r_out).astype(jnp.int32).T
+                if r_out
+                else jnp.zeros((0, B), jnp.int32)
+            )
+            pas, pbs = [], []
+            for S in subsets:
+                Sc = tuple(i for i in range(r_out) if i not in S)
+                ia = jnp.broadcast_to(
+                    rep_T[list(S), None, :], (ka, n_k, B)
+                )
+                ib = jnp.broadcast_to(
+                    rep_T[list(Sc), None, :], (kb, n_k, B)
+                )
+                pas.append(_stream_pos_of_T(t_a, ia, ra, ct, k, n_k))
+                pbs.append(_stream_pos_of_T(t_b, ib, rb, ct, k, n_k))
+            pa = jnp.stack(pas)  # (n_sub, n_k, B) int32
+            pb = jnp.stack(pbs)
+
+            def ring(carry, _):
+                a_cur, b_cur, sid, av, bv = carry
+                loa = pa - sid * La
+                ma = (loa >= 0) & (loa < La)
+                av = av + jnp.where(
+                    ma, a_cur[jnp.clip(loa, 0, La - 1)],
+                    jnp.zeros((), dt),
+                )
+                lob = pb - sid * Lb
+                mb = (lob >= 0) & (lob < Lb)
+                bv = bv + jnp.where(
+                    mb, b_cur[jnp.clip(lob, 0, Lb - 1)],
+                    jnp.zeros((), dt),
+                )
+                perm = [(j, (j + 1) % ndev) for j in range(ndev)]
+                a_nxt = jax.lax.ppermute(a_cur, axis, perm)
+                b_nxt = jax.lax.ppermute(b_cur, axis, perm)
+                # after the rotation this device holds the shard that was
+                # one device to the left
+                sid_nxt = (sid - 1) % ndev
+                return (a_nxt, b_nxt, sid_nxt, av, bv), None
+
+            init = (
+                a_sh,
+                b_sh,
+                me,
+                jnp.zeros((n_sub, n_k, B), dt),
+                jnp.zeros((n_sub, n_k, B), dt),
+            )
+            (_, _, _, av, bv), _ = jax.lax.scan(
+                ring, init, None, length=ndev
+            )
+            acc = jnp.einsum(
+                "c,scb->b", gm_dt, av * bv, precision=value_prec(dt)
+            )
+            return acc / n_sub
+
+        return jax.lax.map(blk, rp)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        lambda ad, bd, rp, ct, gm: body(ad, bd, rp, ct, gm),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    out = fn(
+        a_pad, b_pad, rep_flat.reshape(nblk, B * r_out), creps_T,
+        gam,
     )
     out = out.reshape(-1)[:n_out]
     if r_out == 0:

@@ -311,6 +311,16 @@ class SymTensorSuite:
         t, dense = self.make(rank, dim, rng)
         assert len(list(t.flat)) == dim**rank
         assert len(list(t.flat_index)) == dim**rank
+        # flat zips with flat_index: reassembling the pairs rebuilds the
+        # dense tensor exactly (reference base.py:893-897 contract; the
+        # iteration order itself is format-chosen)
+        rebuilt = np.zeros((dim,) * rank)
+        seen = set()
+        for idx, v in zip(t.flat_index, t.flat):
+            assert idx not in seen, f"flat_index repeated {idx}"
+            seen.add(idx)
+            rebuilt[idx] = float(v)
+        np.testing.assert_allclose(rebuilt, dense, atol=self.atol)
         vals = list(t.indep_iter())
         reps = list(t.indep_iter_repindex())
         assert len(vals) == len(reps) == t.indep_size

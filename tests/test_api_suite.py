@@ -22,70 +22,17 @@ class TestPermClsSuite(SymTensorSuite):
 
 
 class TestDecompSuite(SymTensorSuite):
-    """Decomp binds the same battery with a from_dense shim (the format has
-    no general dense importer — tensors are built from factors; the
-    reference decomp prototype likewise has its own separate battery,
-    testing/decomp_tensor_test.py)."""
+    """Decomp binds the FULL battery: `from_dense` is exact at any rank
+    (eigh at rank 2, standard-basis decomposition at rank ≥ 3), so the
+    only legitimately skipped tests are the functional-update ones — the
+    format is read-only here as in the reference (decomp_symmtensor.py:793).
+    Decomp-native capabilities (factor surgery, O(1) basis change, Gram
+    tensordot) are additionally covered in tests/test_decomp.py."""
 
-    class _DecompFacade:
-        @staticmethod
-        def from_dense(arr):
-            # exact CP import: rank-2 via eigh; higher ranks via repeated
-            # splits is out of scope — the suite only needs rank 2 here.
-            arr = jnp.asarray(arr)
-            if arr.ndim == 2:
-                return st.DecompSymmetricTensor.from_matrix(arr, cutoff=0.0)
-            raise NotImplementedError
-
-        @staticmethod
-        def zeros(rank, dim, dtype=None):
-            return st.DecompSymmetricTensor.zeros(rank, dim, dtype=dtype)
-
-    tensor_cls = _DecompFacade
-    ranks_dims = ((2, 3),)
+    tensor_cls = st.DecompSymmetricTensor
+    ranks_dims = ((2, 3), (3, 4), (4, 3))
     atol = 1e-8
     supports_updates = False  # reference forbids decomp __setitem__ too
-    _SKIP = "needs general-rank from_dense; decomp has tests/test_decomp.py"
-
-    # decomp is read-only and has its own battery (tests/test_decomp.py);
-    # skip the parts needing from_dense at other ranks
-    def test_outer(self):
-        pass
-
-    def test_tensordot(self):
-        pass
-
-    def test_illegal_initializations(self):
-        import pytest
-
-        with pytest.raises(TypeError):
-            self.tensor_cls(rank=2)
-
-    def test_block_assignment(self):
-        pytest.skip(self._SKIP)
-
-    def test_partial_indexing(self):
-        pytest.skip(self._SKIP)
-
-    def test_unsymmetrized_outer_raises(self):
-        pytest.skip(self._SKIP)
-
-    def test_outer_product_cases(self):
-        pytest.skip(self._SKIP)
-
-    def test_tensordot_sweep(self):
-        pytest.skip(self._SKIP)
-
-    def test_contract_all_indices_with_matrix(self):
-        # decomp's O(1) factor-transform basis change is covered at its
-        # native construction in tests/test_decomp.py
-        pytest.skip(self._SKIP)
-
-    def test_contract_tensor_list(self):
-        pytest.skip(self._SKIP)
-
-    def test_contract_all_indices_with_vector_cases(self):
-        pytest.skip(self._SKIP)
 
     def test_negative_indices(self):
         import pytest as _pytest

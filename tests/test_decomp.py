@@ -171,12 +171,58 @@ def test_tensordot_axes1_multi_group(ma, mb, rng):
     np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-10)
 
 
-def test_tensordot_axes2_multi_group_fallback(rng):
-    a, da = make(rng, 3, (2, 1), F=2)
-    b, db = make(rng, 3, (2, 1), F=2)
-    out = symalg.tensordot(a, b, axes=2)  # falls back to packed path
-    oracle = np.asarray(symmetrize(np.tensordot(da, db, axes=2)))
-    np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
+@pytest.mark.parametrize(
+    "ma,mb,k",
+    [
+        ((2, 1), (2, 1), 2),
+        ((2, 1), (3,), 2),
+        ((2, 2), (2, 1), 3),
+        ((1, 1, 1), (2, 1), 2),
+        ((2, 1), (2, 1), 3),  # scalar result
+        ((2, 2), (1, 1, 1, 1), 4),  # scalar result, deep tables
+    ],
+)
+def test_tensordot_axesk_multi_group(ma, mb, k, rng):
+    """General multi-group axes≥2 — stays in decomp format (the reference
+    requires single-group operands here, decomp_symmtensor.py:1419-1423)."""
+    a, da = make(rng, 3, ma, F=2)
+    b, db = make(rng, 3, mb, F=2)
+    out = symalg.tensordot(a, b, axes=k)
+    oracle = np.asarray(symmetrize(np.tensordot(da, db, axes=k)))
+    if sum(ma) + sum(mb) - 2 * k == 0:
+        np.testing.assert_allclose(float(out.todense()), oracle, atol=1e-9)
+    else:
+        assert out.format == "decomp"
+        np.testing.assert_allclose(
+            np.asarray(out.todense()), oracle, atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("mult", [(3,), (2, 1), (1, 1, 1), (4,), (2, 2),
+                                  (3, 1), (2, 1, 1), (3, 2)])
+def test_reduce_factors_high_rank(mult, rng):
+    """Rank-agnostic reduce_factors (reference hand-writes ranks 3-4 only,
+    decomp_symmtensor.py:929-968, and caps there)."""
+    dim = 3
+    t, da = make(rng, dim, mult, F=5)  # num_factors > dim triggers reduce
+    red = t.reduce_factors()
+    assert red.num_factors == dim
+    assert red.multiplicities == (1,) * sum(mult)
+    np.testing.assert_allclose(np.asarray(red.todense()), da, atol=1e-9)
+    # below the gate: returned unchanged
+    t2, _ = make(rng, dim, mult, F=2)
+    assert t2.reduce_factors() is t2
+
+
+def test_reduce_factors_rank1(rng):
+    v1 = rng.normal(size=4)
+    v2 = rng.normal(size=4)
+    t = D.from_vector(jnp.asarray(v1), 1).add_decomp(
+        D.from_vector(jnp.asarray(v2), 1)
+    )
+    red = t.reduce_factors()
+    assert red.num_factors == 1
+    np.testing.assert_allclose(np.asarray(red.todense()), v1 + v2, atol=1e-12)
 
 
 def test_contractions(rng):

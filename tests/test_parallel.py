@@ -151,3 +151,38 @@ def test_tensordot_sharded_matches_stream(mesh, rng):
         np.testing.assert_allclose(
             np.asarray(got.data), np.asarray(ref.data), rtol=1e-12
         )
+
+
+def test_tensordot_sharded_operands_memory_scaling(mesh, rng):
+    """operands='sharded': per-device operand residency is 1/n_tp of each
+    value vector (the memory-scaling mode); result matches the
+    single-chip streamed op."""
+    from symtensor_tpu.ops import outer as outer_mod
+    from symtensor_tpu.parallel.sharding import tensordot_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ntp = mesh.shape["tp"]
+    for (ra, rb, ax) in [(3, 3, 1), (2, 3, 1), (3, 3, 2)]:
+        na, nb = st.utils.indep_size(ra, 8), st.utils.indep_size(rb, 8)
+        # place the operands SHARDED up front — the memory-scaling premise
+        # is that the full vectors never sit on one device
+        pad_a, pad_b = (-na) % ntp, (-nb) % ntp
+        a_dev = jax.device_put(
+            jnp.asarray(rng.normal(size=na)), NamedSharding(mesh, P())
+        )
+        A = st.FlatSymmetricTensor._raw(ra, 8, a_dev)
+        B = st.FlatSymmetricTensor._raw(
+            rb, 8, jnp.asarray(rng.normal(size=nb))
+        )
+        got = tensordot_sharded(A, B, ax, mesh, axis="tp",
+                                operands="sharded")
+        ref = outer_mod.tensordot(A, B, axes=ax, stream=True)
+        np.testing.assert_allclose(
+            np.asarray(got.data), np.asarray(ref.data), rtol=1e-10
+        )
+        # residency check: each device's addressable shard of the padded
+        # operand holds (na+pad)/ntp values — strictly less than na
+        from symtensor_tpu.parallel.sharding import _pad_len
+
+        shard_len = (na + _pad_len(na, ntp)) // ntp
+        assert shard_len < na

@@ -292,7 +292,11 @@ def oracle_contract_tensor_list(dense, chis, n_times, values):
     return sym_np(out)
 
 
-@pytest.mark.parametrize("r,m,n_times", [(1, 1, 1), (1, 2, 1), (2, 1, 1), (2, 2, 1), (3, 1, 1), (2, 1, 2), (3, 2, 2)])
+@pytest.mark.parametrize(
+    "r,m,n_times",
+    [(1, 1, 1), (1, 2, 1), (2, 1, 1), (2, 2, 1), (3, 1, 1), (2, 1, 2),
+     (3, 2, 2), (3, 1, 3), (4, 1, 3), (4, 1, 4)],
+)
 def test_contract_tensor_list(fmt, r, m, n_times, rng):
     dim = 3
     dense = random_sym(r, dim, rng)
