@@ -865,7 +865,11 @@ def basis_change_packed(
     row_w_cap = int(
         min(d_out, _env_int("SYMTENSOR_BASIS_ROW_WINDOW", 50))
     )
-    wmax = max(w_pad[1:] + [row_w_cap])
+    # adaptive per-chunk step-window cap (see process(): widths ≤ 128 are
+    # free — the product lane-pads to 128 — and wide windows cut parent
+    # re-sweeps)
+    step_wcap = int(min(d_out, _env_int("SYMTENSOR_BASIS_STEP_WINDOW", 128)))
+    wmax = max(w_pad[1:] + [row_w_cap, step_wcap])
     Wdev = jnp.concatenate(
         [W.astype(acc_dt), jnp.zeros((d, wmax), dtype=acc_dt)], axis=1
     )
@@ -1018,7 +1022,6 @@ def basis_change_packed(
         n_k = comb.indep_size(k, d)
         npar_pad = blk.npar
         Rc = R[child_level]
-        wp = w_pad[child_level]
         if t == 0 and use_root_kernel:
             # Case-decomposed root pass (ops/basis_root.py): every read is
             # a contiguous slice or the fast axis-1 gather — replaces the
@@ -1267,125 +1270,158 @@ def basis_change_packed(
             and mesh is None
         )
         onthefly = n_k * d > fly_limit
-        # per-segment-column transient cost: the (npar, seg, d) gather,
-        # the (npar, seg, wp) product with wp lane-padded to 128 plus its
-        # (seg, npar·wp) transpose staging, plus — on the on-the-fly
-        # path — the (seg, d, k+1) index construction.  The budget is
-        # DELIBERATELY larger than the generic transient budget: each
-        # gather op costs ~10-15 ms on this chip regardless of size
-        # (measured: 24k-index map steps run at ~160 M el/s while one
-        # 485M-element gather runs at 8.4 G el/s), so fewer, bigger
-        # segments win as long as the (npar, seg, d) workspace fits.
-        cost = npar_pad * (d + 2 * max(wp, 128))
-        if onthefly:
-            # insert-ranking planes: cnt compare stack + masked FMA rows
-            cost += d * (k + 2) * 3
-        gather_elems = _env_int(
-            "SYMTENSOR_BASIS_GATHER_ELEMS", 4 * transient_elems
-        )
-        seg = int(max(1, min(n_k, gather_elems // max(1, cost))))
-        # Host-level COLUMN WINDOWING of long steps: a single program
-        # with ~59k map steps (the rank-6 t=0 root pass) crashes the
-        # TPU worker through the tunnel, while the identical kernel at
-        # ≤7,424 steps runs fine (benchmarks/basis_t0_probe*.py
-        # bisection).  Positions are computed from the table rows
-        # (absolute multisets), so slicing the child-column axis into
-        # windows is exact.  Window tables are sliced HOST-side and
-        # uploaded once each (~46 MB at the rank-6 root — device-side
-        # slices of a 460 MB resident table are in the suspect set),
-        # and outputs assemble into a donated buffer via
-        # dynamic_update_slice (no 10-operand concat transient).
-        max_segs = _env_int("SYMTENSOR_BASIS_MAX_SEGS", 6000)
-        nseg_tot = -(-n_k // seg)
-        piece_lens = tuple(int(p.shape[0]) for p in blk.U)
-        mesh_axis = None if mesh is None else (mesh, tp_axis)
-        # Window by table BYTES as well: the surviving rank-6 fault
-        # correlate is the map-operand table size (every crash ≥450 MB,
-        # every pass ≤~60 MB; the r6b run then crashed somewhere past a
-        # fully-windowed root with a 70 MB materialized t=2 table in the
-        # dispatch queue).  Keep every per-program table under the budget.
-        max_tbl = _env_int("SYMTENSOR_BASIS_MAX_TBL_BYTES", 48_000_000)
-        if onthefly:
-            it = 1 if d <= 127 else 2 if d <= 32767 else 4
-            tbl_bytes = n_k * k * it
-        else:
-            tbl_bytes = n_k * d * 4
-        # the select-staging matrix Ht = (n_k_window, npar·wp) must stay
-        # under the fan budget (it is materialized whole per window so
-        # the child select is ONE shared-index gather)
-        fan_elems = _env_int("SYMTENSOR_BASIS_FAN_ELEMS", 2**28)
-        ht_elems = n_k * npar_pad * wp
-        nwin_req = max(
-            -(-nseg_tot // max_segs),
-            -(-tbl_bytes // max_tbl),
-            -(-ht_elems // fan_elems),
-        )
-        if fused_here:
-            kern = tbl_arg = None  # run_chunk takes the fused-emit path
-        elif nwin_req > 1 and n_k > 1:
-            tbl_arg = insert_map_host(k, onthefly)
-            nwin = nwin_req
-            cols_raw = -(-n_k // nwin)
-            win_cols = -(-cols_raw // seg) * seg  # multiple of seg
-            bounds = [
-                (c0, min(c0 + win_cols, n_k))
-                for c0 in range(0, n_k, win_cols)
-            ]
-            kerns = [
-                _step_kernel(
-                    blk.npar, piece_lens, c1 - c0, d, k, wp, Rc, seg,
-                    str(store_dt), str(acc_dt), onthefly, mesh_axis,
-                )
-                for c0, c1 in bounds
-            ]
+        _kern_cache = {}
 
-            def kern(rows_pieces, tbl_host, Wm, b_lo, bs, st_, ct_,
-                     _bounds=tuple(bounds), _kerns=tuple(kerns)):
-                buf = jnp.zeros((Rc * n_k,), dtype=store_dt)
-                for (c0, c1), kw in zip(_bounds, _kerns):
-                    key = (t, k, c0, c1)
-                    if key not in _win_tbls:
-                        _win_tbls[key] = jnp.asarray(
-                            tbl_host[c0 * k : c1 * k] if onthefly
-                            else tbl_host[c0:c1]
-                        )
-                    w_out = kw(
-                        rows_pieces, _win_tbls[key], Wm, b_lo, bs, st_, ct_
+        def get_kern(wpb):
+            """Step kernel(s) for one b-window width bucket.
+
+            The width is per-chunk ADAPTIVE (pow-2 bucketed): with the old
+            static wp (≈2·Rc/npar), windows early in the b range yield
+            almost no children — parents of b are a prefix of C(b+t, t+1)
+            rows — so the step paid ~2.5× more full parent re-sweeps than
+            ⌈level rows/Rc⌉ (rank-5 t=2→3: 15 sweeps of a 10.4 GB fan-out
+            where 6 suffice).  Width ≤ 128 is free on the device side: the
+            (npar, seg, wp) product lane-pads wp to 128 regardless, and
+            the gather volume per sweep is width-independent.  One
+            compiled kernel per (level shape, bucket), disk-cached."""
+            if wpb in _kern_cache:
+                return _kern_cache[wpb]
+            _kern_cache[wpb] = _build_kern(wpb)
+            return _kern_cache[wpb]
+
+        def _build_kern(wp):
+            # per-segment-column transient cost: the (npar, seg, d)
+            # gather, the (npar, seg, wp) product with wp lane-padded to
+            # 128 plus its (seg, npar·wp) transpose staging, plus — on
+            # the on-the-fly path — the (seg, d, k+1) index construction.
+            # The budget is DELIBERATELY larger than the generic
+            # transient budget: each gather op costs ~10-15 ms on this
+            # chip regardless of size (measured: 24k-index map steps run
+            # at ~160 M el/s while one 485M-element gather runs at
+            # 8.4 G el/s), so fewer, bigger segments win as long as the
+            # (npar, seg, d) workspace fits.
+            cost = npar_pad * (d + 2 * max(wp, 128))
+            if onthefly:
+                # insert-ranking planes: cnt compares + masked FMA rows
+                cost += d * (k + 2) * 3
+            gather_elems = _env_int(
+                "SYMTENSOR_BASIS_GATHER_ELEMS", 4 * transient_elems
+            )
+            seg = int(max(1, min(n_k, gather_elems // max(1, cost))))
+            # Host-level COLUMN WINDOWING of long steps: a single program
+            # with ~59k map steps (the rank-6 t=0 root pass) crashes the
+            # TPU worker through the tunnel, while the identical kernel
+            # at ≤7,424 steps runs fine (benchmarks/basis_t0_probe*.py
+            # bisection).  Positions are computed from the table rows
+            # (absolute multisets), so slicing the child-column axis into
+            # windows is exact.  Window tables are sliced HOST-side and
+            # uploaded once each (~46 MB at the rank-6 root — device-side
+            # slices of a 460 MB resident table are in the suspect set),
+            # and outputs assemble into a donated buffer via
+            # dynamic_update_slice (no 10-operand concat transient).
+            max_segs = _env_int("SYMTENSOR_BASIS_MAX_SEGS", 6000)
+            nseg_tot = -(-n_k // seg)
+            piece_lens = tuple(int(p.shape[0]) for p in blk.U)
+            mesh_axis = None if mesh is None else (mesh, tp_axis)
+            # Window by table BYTES as well: the surviving rank-6 fault
+            # correlate is the map-operand table size (every crash
+            # ≥450 MB, every pass ≤~60 MB).  Keep every per-program table
+            # under the budget.
+            max_tbl = _env_int("SYMTENSOR_BASIS_MAX_TBL_BYTES", 48_000_000)
+            if onthefly:
+                it = 1 if d <= 127 else 2 if d <= 32767 else 4
+                tbl_bytes = n_k * k * it
+            else:
+                tbl_bytes = n_k * d * 4
+            # the select-staging matrix Ht = (n_k_window, npar·wp) must
+            # stay under the fan budget (it is materialized whole per
+            # window so the child select is ONE shared-index gather)
+            fan_elems = _env_int("SYMTENSOR_BASIS_FAN_ELEMS", 2**28)
+            ht_elems = n_k * npar_pad * wp
+            nwin_req = max(
+                -(-nseg_tot // max_segs),
+                -(-tbl_bytes // max_tbl),
+                -(-ht_elems // fan_elems),
+            )
+            if fused_here:
+                return None, None  # run_chunk takes the fused-emit path
+            if nwin_req > 1 and n_k > 1:
+                tbl_arg = insert_map_host(k, onthefly)
+                nwin = nwin_req
+                cols_raw = -(-n_k // nwin)
+                win_cols = -(-cols_raw // seg) * seg  # multiple of seg
+                bounds = [
+                    (c0, min(c0 + win_cols, n_k))
+                    for c0 in range(0, n_k, win_cols)
+                ]
+                kerns = [
+                    _step_kernel(
+                        blk.npar, piece_lens, c1 - c0, d, k, wp, Rc, seg,
+                        str(store_dt), str(acc_dt), onthefly, mesh_axis,
                     )
-                    # ALWAYS fence between windows: async dispatch would
-                    # otherwise allocate every window's output + kernel
-                    # workspace at once (~2 GB extra at the rank-6 root
-                    # — observed OOM), for a ~31 ms readback each
-                    if not isinstance(w_out, jax.core.Tracer):
-                        float(w_out[0])
-                    buf = _dus_combine(
-                        Rc, n_k, c1 - c0, str(store_dt)
-                    )(buf, w_out, jnp.int32(c0))
-                return buf
-        else:
+                    for c0, c1 in bounds
+                ]
+
+                def kern(rows_pieces, tbl_host, Wm, b_lo, bs, st_, ct_,
+                         _bounds=tuple(bounds), _kerns=tuple(kerns)):
+                    buf = jnp.zeros((Rc * n_k,), dtype=store_dt)
+                    for (c0, c1), kw in zip(_bounds, _kerns):
+                        key = (t, k, c0, c1)
+                        if key not in _win_tbls:
+                            _win_tbls[key] = jnp.asarray(
+                                tbl_host[c0 * k : c1 * k] if onthefly
+                                else tbl_host[c0:c1]
+                            )
+                        w_out = kw(
+                            rows_pieces, _win_tbls[key], Wm, b_lo, bs,
+                            st_, ct_
+                        )
+                        # ALWAYS fence between windows: async dispatch
+                        # would otherwise allocate every window's output
+                        # + kernel workspace at once (~2 GB extra at the
+                        # rank-6 root — observed OOM), for a ~31 ms
+                        # readback each
+                        if not isinstance(w_out, jax.core.Tracer):
+                            float(w_out[0])
+                        buf = _dus_combine(
+                            Rc, n_k, c1 - c0, str(store_dt)
+                        )(buf, w_out, jnp.int32(c0))
+                    return buf
+
+                return kern, tbl_arg
             tbl_arg, _ = insert_map(k)
-            kern = _step_kernel(
+            return _step_kernel(
                 blk.npar, piece_lens, n_k, d, k, wp, Rc, seg,
                 str(store_dt), str(acc_dt), onthefly, mesh_axis,
-            )
+            ), tbl_arg
+
         # parents available per new max element b (prefix property)
         counts = np.searchsorted(
             blk.maxels, np.arange(d_out) + 1, side="left"
         )
+        wcap = step_wcap
+
+        def _bucket_w(nw):
+            wb = 4
+            while wb < nw:
+                wb *= 2
+            return min(wb, wcap)
+
         b = int(np.argmax(counts > 0)) if counts[-1] > 0 else d_out
         while b < d_out:
             b_lo = b
             groups, nsel = [], 0
-            while b < d_out and (b - b_lo) < wp and nsel < Rc:
+            while b < d_out and (b - b_lo) < wcap and nsel < Rc:
                 c = int(counts[b])
                 if c > Rc and nsel == 0:
                     # one b-group exceeds the row budget: emit it in
                     # parent-prefix pieces (window of width 1)
+                    kern1, tbl1 = get_kern(4)
                     for p0 in range(0, c, Rc):
                         p1 = min(p0 + Rc, c)
                         run_chunk(
-                            t, blk, kern, tbl_arg, b,
-                            [(b, p0, p1 - p0)], Rc, wp,
+                            t, blk, kern1, tbl1, b,
+                            [(b, p0, p1 - p0)], Rc, 4,
                         )
                     b += 1
                     b_lo = b
@@ -1396,7 +1432,9 @@ def basis_change_packed(
                 nsel += c
                 b += 1
             if nsel:
-                run_chunk(t, blk, kern, tbl_arg, b_lo, groups, Rc, wp)
+                wpb = _bucket_w(b - b_lo)
+                kernb, tblb = get_kern(wpb)
+                run_chunk(t, blk, kernb, tblb, b_lo, groups, Rc, wpb)
         if child_level == r and not isinstance(out_buf, jax.core.Tracer):
             # drain the block's queued emits ONCE before the recursion
             # returns and the next subtree's step kernels allocate their
