@@ -1,0 +1,203 @@
+"""Re-measure gather_mm's niche vs its competitors, on the real TPU.
+
+VERDICT round-2 item 9: the one-hot-MXU gather kernel (kernels/gather_mm.py)
+won 5x over XLA's subset-gather loop for the symmetric OUTER at C1 size in
+round 1, but the pair-contraction GEMM route has since taken over the
+symmetrized TENSORDOT at every size both serve.  This probe measures, warm
+and same-process, every (op, size) where two or more routes apply:
+
+  outer rank-3 x rank-3, dim in {20, 30, 40, 56}:
+    a) gather_mm one-hot MXU kernel (production default when usable)
+    b) subset fancy-index gather loop (the XLA fallback)
+    c) EXPERIMENTAL paired-k0: G = a b^T one GEMM, then n_sub fused-index
+       gathers from G.flatten() (the tensordot paired route at k = 0 --
+       not currently wired for outer)
+
+  tensordot rank-3 x rank-3 axes=1, dim in {20, 30, 40, 56}:
+    a) paired GEMM route (production default, eager)
+    b) gather_mm table route (forced; production only reaches it traced)
+    c) einsum table route (XLA gathers)
+
+Timing: K dependent dispatches + one scalar readback minus the measured
+readback floor (bench.py:device_time; block_until_ready does not fence
+through the axon tunnel).
+
+Outcome recorded in docs/benchmarks.md ("gather_mm niche" table); routing
+changes, if any, follow the numbers.
+"""
+
+import sys
+import time
+import itertools
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import symtensor_tpu as st
+from symtensor_tpu import symalg
+from symtensor_tpu.core.flat import FlatSymmetricTensor
+from symtensor_tpu.ops import outer as outer_mod
+from symtensor_tpu.ops.outer import (
+    _combine_paired,
+    _subset_tables,
+    _tensordot_tables,
+)
+from symtensor_tpu.kernels import gather_mm
+from symtensor_tpu.utils import combinatorics as comb
+from symtensor_tpu.utils.tables import tables
+
+
+def fence(x):
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def measure_floor():
+    x = jnp.zeros((1,), jnp.float32)
+    fence(x)
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        fence(x)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def device_time(fn, floor, repeats=8):
+    float(jnp.sum(fn()))  # warm/compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(repeats):
+            r = jnp.sum(fn())
+            acc = r if acc is None else acc + r
+        float(acc)
+        ts.append(time.perf_counter() - t0)
+    return max((float(np.median(ts)) - floor) / repeats, 1e-9)
+
+
+def paired_k0(af, bf):
+    """Experimental outer via one GEMM + fused-index gathers (k = 0)."""
+    ra, rb, dim = af.rank, bf.rank, af.dim
+    r = ra + rb
+    t_out = tables(r, dim)
+    rep = t_out.rep_np()
+    n_b = bf.data.shape[0]
+    subsets = list(itertools.combinations(range(r), ra))
+    pa = np.empty((len(subsets), len(rep)), np.int64)
+    pb = np.empty_like(pa)
+    t_a, t_b = tables(ra, dim), tables(rb, dim)
+    for si, S in enumerate(subsets):
+        Sc = [i for i in range(r) if i not in S]
+        pa[si] = t_a.layout.position_array(np.sort(rep[:, S], axis=1))
+        pb[si] = t_b.layout.position_array(np.sort(rep[:, Sc], axis=1))
+    fused = jnp.asarray((pa * n_b + pb).astype(np.int32))
+
+    @jax.jit
+    def fn(a, b, fused_tbl):
+        G = jnp.outer(a, b).reshape(-1)
+        return jnp.mean(G[fused_tbl], axis=0)
+
+    return lambda: fn(af.data, bf.data, fused)
+
+
+def subset_loop(af, bf):
+    ta, tb = _subset_tables(af.rank, bf.rank, af.dim)
+
+    @jax.jit
+    def fn(a, b):
+        acc = None
+        for s in range(ta.shape[0]):
+            term = a[ta[s]] * b[tb[s]]
+            acc = term if acc is None else acc + term
+        return acc / ta.shape[0]
+
+    return lambda: fn(af.data, bf.data)
+
+
+def einsum_tables(af, bf, k):
+    A_tab, B_tab, gam, n_sub = _tensordot_tables(af.rank, bf.rank, k, af.dim)
+
+    @jax.jit
+    def fn(a, b):
+        acc = None
+        for s in range(n_sub):
+            term = jnp.einsum("c,co->o", gam, a[A_tab[s]] * b[B_tab[s]])
+            acc = term if acc is None else acc + term
+        return acc / n_sub
+
+    return lambda: fn(af.data, bf.data)
+
+
+def main():
+    print(f"device = {jax.devices()[0]}", flush=True)
+    floor = measure_floor()
+    print(f"readback floor = {floor*1e3:.1f} ms", flush=True)
+    rows = []
+    for dim in (20, 30, 40, 56):
+        n = comb.indep_size(3, dim)
+        key = jax.random.PRNGKey(dim)
+        a = FlatSymmetricTensor._raw(
+            3, dim, jax.random.normal(key, (n,), jnp.float32))
+        b = FlatSymmetricTensor._raw(
+            3, dim, jax.random.normal(jax.random.PRNGKey(dim + 1), (n,),
+                                      jnp.float32))
+
+        # ---- outer ----
+        ta, tb = _subset_tables(3, 3, dim)
+        n_sub = ta.shape[0]
+        res = {}
+        if gather_mm.fits(n, n, n_sub):
+            res["gather_mm"] = device_time(
+                lambda: gather_mm.gather_combine(a.data, b.data, ta, tb),
+                floor)
+        res["subset_loop"] = device_time(subset_loop(a, b), floor)
+        n_out6 = comb.indep_size(6, dim)
+        if n * n <= 400_000_000 and n_out6 * 20 <= 400_000_000:
+            res["paired_k0"] = device_time(paired_k0(a, b), floor)
+        # numeric agreement
+        ref = subset_loop(a, b)()
+        for name in ("gather_mm", "paired_k0"):
+            if name in res:
+                got = (gather_mm.gather_combine(a.data, b.data, ta, tb)
+                       if name == "gather_mm" else paired_k0(a, b)())
+                rel = float(jnp.max(jnp.abs(got - ref)) /
+                            (jnp.max(jnp.abs(ref)) + 1e-30))
+                res[name + "_rel"] = rel
+        rows.append(("outer", dim, n, res))
+        print(f"outer  d={dim:3d} n={n:6d}: " + "  ".join(
+            f"{k}={v*1e3:8.2f}ms" if not k.endswith("_rel")
+            else f"{k}={v:.1e}" for k, v in res.items()), flush=True)
+
+        # ---- tensordot axes=1 ----
+        res = {}
+        res["paired"] = device_time(lambda: _combine_paired(a, b, 1), floor)
+        A_tab, B_tab, gam, nsb = _tensordot_tables(3, 3, 1, dim)
+        R = nsb * A_tab.shape[1]
+        if gather_mm.fits(n, n, R):
+            w = jnp.tile(gam, nsb) / nsb
+            At, Bt = A_tab.reshape(R, -1), B_tab.reshape(R, -1)
+            res["gather_mm"] = device_time(
+                lambda: gather_mm.gather_combine(
+                    a.data, b.data, At, Bt, weights=w), floor)
+        res["einsum_tables"] = device_time(einsum_tables(a, b, 1), floor)
+        ref = einsum_tables(a, b, 1)()
+        got = _combine_paired(a, b, 1)
+        res["paired_rel"] = float(jnp.max(jnp.abs(got - ref)) /
+                                  (jnp.max(jnp.abs(ref)) + 1e-30))
+        rows.append(("td_k1", dim, n, res))
+        print(f"td k=1 d={dim:3d} n={n:6d}: " + "  ".join(
+            f"{k}={v*1e3:8.2f}ms" if not k.endswith("_rel")
+            else f"{k}={v:.1e}" for k, v in res.items()), flush=True)
+
+    print("\nsummary (ms):")
+    for op, dim, n, res in rows:
+        print(op, dim, {k: round(v * 1e3, 2) for k, v in res.items()
+                        if not k.endswith("_rel")})
+
+
+if __name__ == "__main__":
+    main()
