@@ -36,10 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import symtensor_tpu as st
-from symtensor_tpu import symalg
 from symtensor_tpu.core.flat import FlatSymmetricTensor
-from symtensor_tpu.ops import outer as outer_mod
 from symtensor_tpu.ops.outer import (
     _combine_paired,
     _subset_tables,
@@ -94,6 +91,10 @@ def paired_k0(af, bf):
         Sc = [i for i in range(r) if i not in S]
         pa[si] = t_a.layout.position_array(np.sort(rep[:, S], axis=1))
         pb[si] = t_b.layout.position_array(np.sort(rep[:, Sc], axis=1))
+    n_a = af.data.shape[0]
+    # fused index pa*n_b + pb must fit int32 (the caller's n*n gate is the
+    # only other guard; at dim=100 n^2 ≈ 3.1e10 would silently overflow)
+    assert n_a * n_b < 2**31, (n_a, n_b)
     fused = jnp.asarray((pa * n_b + pb).astype(np.int32))
 
     @jax.jit
@@ -188,6 +189,15 @@ def main():
         got = _combine_paired(a, b, 1)
         res["paired_rel"] = float(jnp.max(jnp.abs(got - ref)) /
                                   (jnp.max(jnp.abs(ref)) + 1e-30))
+        if "gather_mm" in res:
+            # check the timed computation, not just its timing: the row
+            # order of the tiled weights/tables must match
+            # _tensordot_tables' (n_sub, n_k, n_out) layout
+            got_g = gather_mm.gather_combine(
+                a.data, b.data, At, Bt, weights=w)
+            res["gather_mm_rel"] = float(
+                jnp.max(jnp.abs(got_g - ref)) /
+                (jnp.max(jnp.abs(ref)) + 1e-30))
         rows.append(("td_k1", dim, n, res))
         print(f"td k=1 d={dim:3d} n={n:6d}: " + "  ".join(
             f"{k}={v*1e3:8.2f}ms" if not k.endswith("_rel")

@@ -253,8 +253,6 @@ def tensordot_sharded(
         raise ValueError(f"unknown operands mode {operands!r}")
     from functools import partial as _partial
 
-    from jax.experimental.shard_map import shard_map
-
     from ..ops import outer as outer_mod
     from ..utils.tables import tables
 
@@ -309,12 +307,12 @@ def tensordot_sharded(
         int(nblk // ndev), trim=False,
     )
 
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda ad, bd, rp, ct, gm: body(ad, bd, rp.reshape(-1), ct, gm),
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(
         af.data, bf.data, rep_pad.reshape(nblk, B * r_out), creps_T, gam
@@ -462,14 +460,12 @@ def _tensordot_sharded_operands(a, b, axes: int, mesh: Mesh, axis: str):
 
         return jax.lax.map(blk, rp)
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda ad, bd, rp, ct, gm: body(ad, bd, rp, ct, gm),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(
         a_pad, b_pad, rep_flat.reshape(nblk, B * r_out), creps_T,
