@@ -268,6 +268,33 @@ class SymmetricTensor:
             for g in gamma[self.tables.class_positions_np(c)]:
                 yield int(g)
 
+    # --------------------------------------------- dict-style storage views
+    # Reference contract (base.py:854-887): keys() is a KeysView over the
+    # underlying data layout — the single key () for single-array formats,
+    # σ-class count tuples for PermCls — and values() yields the matching
+    # storage arrays, so generic code can apply elementwise ops leaf-wise.
+
+    def keys(self):
+        """KeysView over the underlying storage (reference base.py:854-869).
+        Single-array formats (flat, dense) expose the single key ``()``;
+        formats with structured storage override."""
+        return dict.fromkeys([()]).keys()
+
+    def values(self) -> Iterator:
+        """Iterator over the underlying data arrays, aligned with
+        :meth:`keys` (reference base.py:870-881)."""
+        return iter([self.data])
+
+    def items(self) -> Iterator:
+        """``zip(keys(), values())`` (reference base.py:882-887)."""
+        return zip(self.keys(), self.values())
+
+    def __iter__(self) -> Iterator:
+        """Yield the ``dim`` rank-(r−1) sub-tensors ``self[i]``
+        (reference base.py:751-756)."""
+        for i in range(self.dim):
+            yield self[i]
+
     @property
     def flat(self) -> Iterator:
         """All d^r component values, each independent component repeated
@@ -430,7 +457,11 @@ class SymmetricTensor:
         """NEP-18 hook. `np.tensordot` is blocked with an instructive
         error (the reference does the same, symalg.py:341-347): the plain
         tensordot of symmetric tensors is not symmetric, and silently
-        densifying it invites wrong results. Everything else falls back
+        densifying it invites wrong results.  Comparison/inspection
+        functions (`np.allclose`, `np.isclose`, `np.array_equal`,
+        `np.result_type`, `np.all`, `np.any`) run natively on packed
+        storage — never densifying — matching the reference's
+        implementations (base.py:1454-1684).  Everything else falls back
         to densify-with-warning via `__array__` (NumPy's default path)."""
         import numpy as _np
 
@@ -439,6 +470,11 @@ class SymmetricTensor:
                 "np.tensordot of SymmetricTensors is not symmetrized; use "
                 "symalg.tensordot (reference symalg.py:341-347)"
             )
+        handler = _array_function_impls().get(func)
+        if handler is not None:
+            res = handler(*args, **kwargs)
+            if res is not NotImplemented:
+                return res
         densified = tuple(
             _np.asarray(a) if isinstance(a, SymmetricTensor) else a
             for a in args
@@ -518,3 +554,75 @@ def _check_dense_size(rank: int, dim: int, what: str = "todense") -> None:
             f"{what}: dense size {dim}^{rank} = {dim**rank:,} exceeds "
             f"config.max_dense_elements = {config.max_dense_elements:,}"
         )
+
+
+_ARRAY_FUNCTION_IMPLS: dict = {}
+
+
+def _array_function_impls() -> dict:
+    """Native NEP-18 implementations, built lazily (ops.elementwise imports
+    this module).  Each handler returns NotImplemented for operand
+    combinations it does not cover natively — `__array_function__` then
+    falls back to densify-with-warning.  Reference: the `@implements`
+    registry and handlers at /root/reference/symtensor/base.py:1454-1684."""
+    if _ARRAY_FUNCTION_IMPLS:
+        return _ARRAY_FUNCTION_IMPLS
+    from ..ops import elementwise as _ew
+
+    def _st_or_scalar(x) -> bool:
+        return isinstance(x, SymmetricTensor) or _ew._is_scalar(x)
+
+    def _allclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
+        if not (_st_or_scalar(a) and _st_or_scalar(b)):
+            return NotImplemented
+        return _ew.allclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan)
+
+    def _isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
+        if not (_st_or_scalar(a) and _st_or_scalar(b)):
+            return NotImplemented
+        if (
+            isinstance(a, SymmetricTensor)
+            and isinstance(b, SymmetricTensor)
+            and (a.rank, a.dim) != (b.rank, b.dim)
+        ):
+            return NotImplemented  # numpy broadcasting semantics (densify)
+        return _ew.isclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan)
+
+    def _array_equal(a, b, equal_nan=False):
+        if not (
+            isinstance(a, SymmetricTensor) and isinstance(b, SymmetricTensor)
+        ):
+            return NotImplemented
+        return _ew.array_equal(a, b)
+
+    def _result_type(*arrays_and_dtypes):
+        return np.result_type(
+            *(
+                a.dtype if isinstance(a, SymmetricTensor) else a
+                for a in arrays_and_dtypes
+            )
+        )
+
+    def _all(a, *args, **kwargs):
+        if not isinstance(a, SymmetricTensor) or args or kwargs:
+            return NotImplemented
+        # every dense element equals some packed component, so truthiness
+        # over packed storage == truthiness over the dense tensor
+        return bool(jnp.all(a.toflat().data))
+
+    def _any(a, *args, **kwargs):
+        if not isinstance(a, SymmetricTensor) or args or kwargs:
+            return NotImplemented
+        return bool(jnp.any(a.toflat().data))
+
+    _ARRAY_FUNCTION_IMPLS.update(
+        {
+            np.allclose: _allclose,
+            np.isclose: _isclose,
+            np.array_equal: _array_equal,
+            np.result_type: _result_type,
+            np.all: _all,
+            np.any: _any,
+        }
+    )
+    return _ARRAY_FUNCTION_IMPLS

@@ -221,6 +221,14 @@ class DecompSymmetricTensor(SymmetricTensor):
     def dtype(self):
         return self.weights.dtype
 
+    def keys(self):
+        """Storage-leaf names (decomp has no σ-class layout; the leaves
+        are the CP factor stack and its weights)."""
+        return dict.fromkeys(["weights", "factors"]).keys()
+
+    def values(self):
+        return iter([self.weights, self.factors])
+
     def astype(self, dtype) -> "DecompSymmetricTensor":
         return self._raw(
             self.rank,

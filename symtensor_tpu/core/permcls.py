@@ -157,6 +157,14 @@ class PermClsSymmetricTensor(SymmetricTensor):
     def dtype(self):
         return next(iter(self.data.values())).dtype
 
+    def keys(self):
+        """σ-class count-tuple keys of the per-class storage (reference
+        permcls keys contract, base.py:854-869)."""
+        return self.data.keys()
+
+    def values(self):
+        return iter(self.data.values())
+
     @property
     def scalar_classes(self) -> Tuple[str, ...]:
         """Labels of currently scalar-compressed classes."""

@@ -129,6 +129,13 @@ class SparseFlatSymmetricTensor(SymmetricTensor):
     def dtype(self):
         return self.bcoo.data.dtype
 
+    def keys(self):
+        """Storage-leaf names (sparse storage has no σ-class layout)."""
+        return dict.fromkeys(["values", "indices"]).keys()
+
+    def values(self):
+        return iter([self.bcoo.data, self.bcoo.indices])
+
     @property
     def nnz(self) -> int:
         return int(self.bcoo.nse)

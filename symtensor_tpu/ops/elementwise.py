@@ -206,7 +206,7 @@ def _try_sparse_binary(op_name, a, b, a_sym, b_sym):
 # ---------------------------------------------------------------- compare
 
 
-def allclose(a, b, rtol=1e-5, atol=1e-8) -> bool:
+def allclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False) -> bool:
     """Elementwise closeness over independent components. Equivalent to a
     dense allclose because every dense element equals some stored component
     (reference np.allclose impl, base.py:1623)."""
@@ -214,16 +214,19 @@ def allclose(a, b, rtol=1e-5, atol=1e-8) -> bool:
         if (a.rank, a.dim) != (b.rank, b.dim):
             return False
         return bool(
-            jnp.allclose(a.toflat().data, b.toflat().data, rtol=rtol, atol=atol)
+            jnp.allclose(a.toflat().data, b.toflat().data, rtol=rtol,
+                         atol=atol, equal_nan=equal_nan)
         )
     if isinstance(a, SymmetricTensor) and _is_scalar(b):
-        return bool(jnp.allclose(a.toflat().data, b, rtol=rtol, atol=atol))
+        return bool(jnp.allclose(a.toflat().data, b, rtol=rtol, atol=atol,
+                                 equal_nan=equal_nan))
     if isinstance(b, SymmetricTensor) and _is_scalar(a):
-        return bool(jnp.allclose(a, b.toflat().data, rtol=rtol, atol=atol))
+        return bool(jnp.allclose(a, b.toflat().data, rtol=rtol, atol=atol,
+                                 equal_nan=equal_nan))
     raise TypeError("allclose needs SymmetricTensor or scalar operands")
 
 
-def isclose(a, b, rtol=1e-5, atol=1e-8):
+def isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
     """Elementwise isclose over independent components, returned as a
     boolean tensor in the promoted format (reference np.isclose impl,
     base.py:1520)."""
@@ -232,14 +235,19 @@ def isclose(a, b, rtol=1e-5, atol=1e-8):
             raise ValueError("rank/dim mismatch")
         a, b = _promote(a, b)
         return _zip_leaves(
-            a, b, lambda u, v: jnp.isclose(u, v, rtol=rtol, atol=atol)
+            a, b, lambda u, v: jnp.isclose(u, v, rtol=rtol, atol=atol,
+                                           equal_nan=equal_nan)
         )
     if isinstance(a, SymmetricTensor) and _is_scalar(b):
         s = jnp.asarray(b)
-        return _map_leaves(a, lambda u: jnp.isclose(u, s, rtol=rtol, atol=atol))
+        return _map_leaves(a, lambda u: jnp.isclose(u, s, rtol=rtol,
+                                                    atol=atol,
+                                                    equal_nan=equal_nan))
     if isinstance(b, SymmetricTensor) and _is_scalar(a):
         s = jnp.asarray(a)
-        return _map_leaves(b, lambda v: jnp.isclose(s, v, rtol=rtol, atol=atol))
+        return _map_leaves(b, lambda v: jnp.isclose(s, v, rtol=rtol,
+                                                    atol=atol,
+                                                    equal_nan=equal_nan))
     raise TypeError("isclose needs SymmetricTensor or scalar operands")
 
 

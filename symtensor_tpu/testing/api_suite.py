@@ -128,6 +128,52 @@ class SymTensorSuite:
         assert a.allclose(a)
         assert not a.allclose(a + 1.0)
 
+    def test_np_dispatch_no_densify(self):
+        """np.allclose/isclose/array_equal/result_type/all/any run natively
+        on compressed storage — no densify warning (reference handlers,
+        base.py:1454-1684)."""
+        from ..core.base import SymmetricTensor
+        from .utils import does_not_warn
+
+        rng = self._rng()
+        rank, dim = self.ranks_dims[0]
+        a, _ = self.make(rank, dim, rng)
+        b, _ = self.make(rank, dim, rng)
+        # decomp's elementwise path emits a once-per-site slow-path
+        # (decomp→flat) warning — compressed, not densified; only a
+        # densify warning fails this test
+        with does_not_warn(match="densifying"):
+            assert np.allclose(a, a)
+            assert not np.allclose(a, a + 1.0)
+            assert np.array_equal(a, a)
+            assert not np.array_equal(a, b)
+            assert np.result_type(a, np.float64) == np.float64
+            close = np.isclose(a, a)
+            assert np.all(close)
+            far = np.isclose(a, a + 1e3)
+            assert not np.any(far)
+        assert isinstance(close, SymmetricTensor)
+
+    def test_dict_style_iteration(self):
+        """keys()/values()/items() expose the storage layout; __iter__
+        yields the dim rank-(r−1) sub-tensors (reference base.py:751,
+        854-887)."""
+        rng = self._rng()
+        rank, dim = self.ranks_dims[0]
+        t, dense = self.make(rank, dim, rng)
+        ks = list(t.keys())
+        vs = list(t.values())
+        assert len(ks) == len(vs) >= 1
+        assert [k for k, _ in t.items()] == ks
+        subs = list(t)
+        assert len(subs) == dim
+        if rank >= 2:
+            np.testing.assert_allclose(
+                np.asarray(subs[0].todense()),
+                np.asarray(dense)[0],
+                atol=max(self.atol, 1e-5),
+            )
+
     def test_outer(self):
         from .. import ops as symalg
 

@@ -9,13 +9,19 @@ import numpy as np
 
 
 @contextlib.contextmanager
-def does_not_warn(category=Warning):
+def does_not_warn(category=Warning, match=None):
     """Inverse of pytest.warns: fail if a matching warning is emitted
-    (reference testing/utils.py:3-16)."""
+    (reference testing/utils.py:3-16).  With `match`, only warnings whose
+    message contains the substring count."""
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         yield
-    bad = [w for w in rec if issubclass(w.category, category)]
+    bad = [
+        w
+        for w in rec
+        if issubclass(w.category, category)
+        and (match is None or match in str(w.message))
+    ]
     if bad:
         raise AssertionError(
             f"unexpected warning(s): {[str(w.message) for w in bad]}"

@@ -390,12 +390,18 @@ def test_numpy_interop_outer_densifies_with_warning(fmt, rng):
 
 def test_np_tensordot_blocked(fmt, rng):
     """np.tensordot is not symmetrized — blocked with an instructive error
-    (reference symalg.py:341-347); other np functions densify-fallback."""
+    (reference symalg.py:341-347); np.allclose runs natively on compressed
+    storage (no densify warning — reference base.py:1623), while
+    unhandled np functions still densify-fallback with a warning."""
     A = fmt.from_dense(random_sym(3, 4, rng))
     with pytest.raises(TypeError, match="symalg.tensordot"):
         np.tensordot(A, A, axes=1)
-    with pytest.warns(UserWarning, match="densifying"):
+    from symtensor_tpu.testing.utils import does_not_warn
+
+    with does_not_warn(match="densifying"):
         assert np.allclose(A, A)
+    with pytest.warns(UserWarning, match="densifying"):
+        assert np.sum(A) == pytest.approx(float(np.sum(A.todense())))
 
 
 def test_data_alignment(fmt):
