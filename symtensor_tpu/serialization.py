@@ -17,6 +17,7 @@ from typing import Union
 import jax.numpy as jnp
 import numpy as np
 
+from .config import config
 from .core.base import SymmetricTensor
 from .core.decomp import DecompSymmetricTensor
 from .core.dense import DenseSymmetricTensor
@@ -24,6 +25,7 @@ from .core.flat import FlatSymmetricTensor
 from .core.permcls import PermClsSymmetricTensor
 from .core.sparse_flat import SparseFlatSymmetricTensor
 from .utils import combinatorics as comb
+from .utils.tables import tables
 
 FORMATS = {
     "dense": DenseSymmetricTensor,
@@ -167,3 +169,152 @@ def load(path: str) -> SymmetricTensor:
                 rank, dim, z["indices"].astype(np.int64), z["values"]
             )
     raise TypeError(f"unknown format {fmt!r}")
+
+
+# --------------------------------------------------------------------------
+# Reference (scityping) payload importer
+# --------------------------------------------------------------------------
+
+
+def _reference_class_indices(counts, dim):
+    """Index tuples of one σ-class in the REFERENCE's storage order
+    (σindex_iter, /root/reference/symtensor/permcls_symtensor.py:269-347):
+    distinct values are assigned to the count groups left to right; each
+    group's value scans ascending over unused values, restricted to values
+    greater than the previous group's when the two groups have equal counts
+    (equal-count groups are interchangeable, so only the ordered choice is
+    a distinct index class)."""
+    counts = tuple(int(c) for c in counts)
+    if not counts:
+        yield ()
+        return
+    if len(counts) > dim:
+        return
+
+    def rec(gi, prev, used):
+        if gi == len(counts):
+            yield ()
+            return
+        m = counts[gi]
+        lo = prev + 1 if gi > 0 and counts[gi - 1] == m else 0
+        for v in range(lo, dim):
+            if v in used:
+                continue
+            for rest in rec(gi + 1, v, used | {v}):
+                yield (v,) * m + rest
+
+    yield from rec(0, -1, frozenset())
+
+
+def _decode_reference_array(v, depth=0):
+    """Tolerantly decode a scityping-style array payload: plain (nested)
+    lists, scalars, ``{"data": …, "dtype": …}`` dicts, or the
+    ``[type_name, payload]`` wrappers scityping emits for Serializable
+    values."""
+    if depth > 6:
+        raise ValueError("reference payload nests too deep")
+    if isinstance(v, dict):
+        inner = v.get("data", v.get("value"))
+        if inner is None:
+            raise ValueError(f"cannot decode array payload keys={list(v)}")
+        arr = _decode_reference_array(inner, depth + 1)
+        dt = v.get("dtype")
+        return arr.astype(np.dtype(dt)) if dt else arr
+    if (
+        isinstance(v, (list, tuple))
+        and len(v) == 2
+        and isinstance(v[0], str)
+        and not isinstance(v[1], (int, float, str))
+    ):
+        return _decode_reference_array(v[1], depth + 1)
+    return np.asarray(v)
+
+
+def from_reference_json(payload) -> PermClsSymmetricTensor:
+    """Import a tensor serialized by the REFERENCE library's scityping
+    ``Data`` codec (permcls_symtensor.py:686-708: ``encode`` emits
+    ``(rank, dim, {str(σ-count-tuple): array})``; JSON turns the tuple into
+    a list and the σ-class keys into strings like ``"(2, 1)"``).
+
+    Accepts a JSON string/bytes, the decoded dict (``{"rank": …, "dim": …,
+    "data": {…}}``, extra keys ignored), the raw 3-element encode list, or
+    a scityping ``[type_name, payload]`` wrapper of any of these.  Class
+    keys may be any string containing the count digits (the reference's own
+    decoder parses them with ``re.findall(r"\\d+", key)``).  Per-class value
+    order follows the reference's σindex_iter enumeration, which is mapped
+    index-by-index onto this library's packed layout — the two storage
+    orders differ, so this is a real re-indexing, not a relabeling.
+    Classes absent from the payload are zero (the reference constructor
+    allows partial class dicts, permcls_symtensor.py:661)."""
+    import re
+
+    if isinstance(payload, (str, bytes)):
+        payload = json.loads(payload)
+    # unwrap scityping [type_name, payload] layers
+    for _ in range(4):
+        if (
+            isinstance(payload, (list, tuple))
+            and len(payload) == 2
+            and isinstance(payload[0], str)
+        ):
+            payload = payload[1]
+        else:
+            break
+    if isinstance(payload, (list, tuple)) and len(payload) == 3:
+        rank, dim, data = payload
+    elif isinstance(payload, dict):
+        low = {str(k).lower(): v for k, v in payload.items()}
+        try:
+            rank, dim, data = low["rank"], low["dim"], low["data"]
+        except KeyError as e:
+            raise ValueError(
+                f"reference payload lacks {e.args[0]!r}; keys={list(payload)}"
+            ) from None
+    else:
+        raise ValueError(f"unrecognized reference payload: {type(payload)}")
+    rank, dim = int(rank), int(dim)
+    if not isinstance(data, dict):
+        raise ValueError("reference payload 'data' must be a class dict")
+
+    t = tables(rank, dim)
+    n = comb.indep_size(rank, dim)
+    flat = np.zeros((n,), dtype=np.float64)
+    out_dtype = None
+    for key_str, arr_payload in data.items():
+        counts = tuple(int(c) for c in re.findall(r"\d+", str(key_str)))
+        if sum(counts) != rank:
+            raise ValueError(
+                f"σ-class key {key_str!r} has rank {sum(counts)}, "
+                f"expected {rank}"
+            )
+        vals = _decode_reference_array(arr_payload)
+        if out_dtype is None or np.promote_types(vals.dtype, out_dtype) != out_dtype:
+            out_dtype = np.promote_types(
+                vals.dtype, out_dtype or vals.dtype
+            )
+        if rank == 0:
+            flat[0] = vals.reshape(-1)[0]
+            continue
+        idx = np.array(
+            list(_reference_class_indices(counts, dim)), dtype=np.int64
+        ).reshape(-1, rank)
+        if vals.ndim == 0:
+            vals = np.broadcast_to(vals, (idx.shape[0],))
+        if vals.shape != (idx.shape[0],):
+            raise ValueError(
+                f"σ-class {key_str!r} expects {idx.shape[0]} values at "
+                f"dim {dim}; payload has shape {vals.shape}"
+            )
+        if idx.shape[0] == 0:
+            continue
+        srt = np.sort(idx, axis=1)
+        if rank == 1:
+            pos = srt[:, 0]
+        else:
+            pos = t.layout.position_array(srt)
+        flat[pos] = vals
+    out_dtype = out_dtype or np.dtype(config.default_dtype)
+    ft = FlatSymmetricTensor._raw(
+        rank, dim, jnp.asarray(flat.astype(out_dtype))
+    )
+    return PermClsSymmetricTensor.from_flat(ft)

@@ -83,3 +83,84 @@ def test_npz_path_without_suffix(tmp_path, rng):
     ser.save(p, A)
     B = ser.load(p)
     assert A.array_equal(B)
+
+
+# ---------------------------------------------------------------------------
+# Reference (scityping) payload import
+# ---------------------------------------------------------------------------
+
+
+def _reference_payload(dense, rank, dim):
+    """Build a payload in the reference's documented encode shape
+    (permcls_symtensor.py:686-708): (rank, dim, {str(σ-counts): values}),
+    per-class values in σindex_iter order."""
+    from symtensor_tpu.serialization import _reference_class_indices
+    from symtensor_tpu.utils import combinatorics as comb
+
+    data = {}
+    for counts in comb.perm_classes(rank):
+        idx = list(_reference_class_indices(counts, dim))
+        if not idx:
+            continue
+        vals = [float(dense[i]) for i in idx]
+        data[str(tuple(counts))] = vals
+    return [rank, dim, data]
+
+
+@pytest.mark.parametrize("rank,dim", [(0, 1), (1, 4), (2, 3), (3, 4), (4, 3)])
+def test_from_reference_json(rank, dim, rng):
+    import json
+
+    dense = random_sym(rank, dim, rng)
+    payload = _reference_payload(dense, rank, dim)
+    # raw encode list, dict form, scityping [type, payload] wrapper, and
+    # the JSON string of each must all decode identically
+    forms = [
+        payload,
+        {"rank": rank, "dim": dim, "data": payload[2]},
+        ["symtensor.permcls_symtensor.PermClsSymmetricTensor.Data",
+         {"rank": rank, "dim": dim, "data": payload[2]}],
+    ]
+    for form in forms + [json.dumps(f) for f in forms]:
+        t = ser.from_reference_json(form)
+        assert isinstance(t, st.PermClsSymmetricTensor)
+        np.testing.assert_allclose(
+            np.asarray(t.todense()), dense, atol=1e-12
+        )
+
+
+def test_from_reference_json_partial_and_errors(rng):
+    # partial class dict: missing classes are zero (reference
+    # permcls_symtensor.py:661 allows subsets)
+    dense = random_sym(3, 3, rng)
+    payload = _reference_payload(dense, 3, 3)
+    data = dict(payload[2])
+    removed = data.pop(str((1, 1, 1)))
+    t = ser.from_reference_json([3, 3, data])
+    got = np.asarray(t.class_values("ijk"))
+    np.testing.assert_allclose(got, 0.0)
+    np.testing.assert_allclose(
+        np.asarray(t.class_values("iij")),
+        np.asarray(
+            ser.from_reference_json(payload).class_values("iij")
+        ),
+    )
+    # wrong-rank key and wrong-length values raise
+    with pytest.raises(ValueError):
+        ser.from_reference_json([3, 3, {"(2, 2)": [1.0]}])
+    with pytest.raises(ValueError):
+        ser.from_reference_json([3, 3, {"(3,)": [1.0]}])
+    with pytest.raises(ValueError):
+        ser.from_reference_json({"rank": 3, "dim": 3})
+
+
+def test_reference_class_order_contract():
+    """The documented σindex_iter examples (permcls_symtensor.py:272-279)."""
+    from symtensor_tpu.serialization import _reference_class_indices
+
+    assert list(_reference_class_indices((2, 1), 3)) == [
+        (0, 0, 1), (0, 0, 2), (1, 1, 0), (1, 1, 2), (2, 2, 0), (2, 2, 1)
+    ]
+    assert list(_reference_class_indices((2, 2), 3)) == [
+        (0, 0, 1, 1), (0, 0, 2, 2), (1, 1, 2, 2)
+    ]
