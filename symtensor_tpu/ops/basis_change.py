@@ -183,7 +183,8 @@ _DUMP_SLOTS = 4096
 
 
 @lru_cache(maxsize=None)
-def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt):
+def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt,
+                     npar_eff=None):
     """Fused k = 0 step + leaf emit: one GEMM, per-PARENT base positions,
     one scatter.
 
@@ -194,8 +195,19 @@ def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt):
     per-slot rep gathers, no Pascal-table gathers (closed-form head
     ranks, tables.position_base_jnp_T).  The unfused pipeline paid ~4-5
     nsel-sized element-rate passes (select + rep gathers + ranking) per
-    chunk — 43 of the 93 s warm rank-5 dim-100 run."""
+    chunk — 43 of the 93 s warm rank-5 dim-100 run.
+
+    `npar_eff` (pow-2-bucketed, ≤ npar) restricts the product grid to the
+    valid parent PREFIX of the chunk (parents are sorted by max element,
+    so parents beyond counts[b_hi−1] have no children in this b-window).
+    Without it every chunk GEMM-read the WHOLE block and scattered the
+    full padded grid — at rank-5 dim-100 the 10 leaf chunks scattered
+    1.31e9 slots for 9.2e7 useful ones and re-read the 1.77 GB level-4
+    block 10× (benchmarks/schedule_sim.py; the scatter floor is
+    ~105 M slots/s, so the waste was ~12 s of device time)."""
     t_out = tables(r, d_out)
+    if npar_eff is None:
+        npar_eff = npar
     _store = jnp.dtype(store_dt)
     mxu_dt = (
         jnp.bfloat16
@@ -208,25 +220,25 @@ def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt):
         Wc = jax.lax.dynamic_slice(
             Wm, (jnp.int32(0), b_lo), (Wm.shape[0], w_pad)
         ).astype(mxu_dt)
-        rows2 = rows_flat.reshape(npar, d)
+        rows2 = rows_flat.reshape(npar, d)[:npar_eff]
         H = jax.lax.dot_general(
             rows2.astype(mxu_dt), Wc,
             (((1,), (0,)), ((), ())),
             preferred_element_type=acc_dt,
             precision=prec,
-        )  # (npar, w_pad)
+        )  # (npar_eff, w_pad)
         # reps arrive column-major flat ((r−1) planes of npar) — the
         # all-rows reshape is free (the unfused emit had to GATHER per
         # selected slot)
-        rep = reps_flat.reshape(r - 1, npar).astype(jnp.int32)
-        base = t_out.position_base_jnp_T(rep)  # (npar,)
-        par = jnp.arange(npar, dtype=jnp.int32)[:, None]
+        rep = reps_flat.reshape(r - 1, npar)[:, :npar_eff].astype(jnp.int32)
+        base = t_out.position_base_jnp_T(rep)  # (npar_eff,)
+        par = jnp.arange(npar_eff, dtype=jnp.int32)[:, None]
         j = jnp.arange(w_pad, dtype=jnp.int32)[None, :]
         valid = (par >= starts[None, :]) & (
             par < (starts + counts)[None, :]
         )
-        pos = base[:, None] + (b_lo + j)  # (npar, w_pad)
-        s = jnp.arange(npar * w_pad, dtype=jnp.int32)
+        pos = base[:, None] + (b_lo + j)  # (npar_eff, w_pad)
+        s = jnp.arange(npar_eff * w_pad, dtype=jnp.int32)
         posf = jnp.where(
             valid.reshape(-1), pos.reshape(-1), n_out + s % _DUMP_SLOTS
         )
@@ -322,6 +334,20 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
         mesh, axis = mesh_axis
         col_sharded = NamedSharding(mesh, PartitionSpec(axis))
         repl = NamedSharding(mesh, PartitionSpec())
+    # The t = 0 root step keeps the ROOT SHARDED over the mesh axis: each
+    # device masked-gathers only the insert positions resident in its
+    # shard, runs its partial GEMM, and the children psum over ICI.  This
+    # is what makes the "A/n_dev per device" residency of the sharded mode
+    # real — the previous revision replicated the root (a full-size
+    # all-gather per window, defeating the memory-scaling story of
+    # docs/benchmarks.md "f32 HBM budget").  Deep steps (npar > 1) still
+    # all-gather their (budget-bounded) parent block, as documented.
+    shard_root = (
+        mesh_axis is not None
+        and npar == 1
+        and len(piece_lens) == 1
+        and piece_lens[0] % mesh_axis[0].shape[mesh_axis[1]] == 0
+    )
 
     nseg = -(-n_k // seg)
     n_k_pad = nseg * seg
@@ -338,7 +364,7 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
         sel_b = jnp.clip(sel_b_abs - b_lo, 0, w_pad - 1)
         if not multi:
             rows_flat = rows_pieces[0]  # 1-D, (width_par·npar,) row-major
-            if mesh_axis is not None:
+            if mesh_axis is not None and not shard_root:
                 # parents replicated (one all-gather per block when the
                 # caller hands in a sharded previous level); children
                 # sharded — each device computes its slice locally.
@@ -380,6 +406,50 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
             # rank ≥ 4 roots to ops/basis_root.py instead
             def seg_body(tseg):
                 sl = _ranked(tseg)
+                if shard_root:
+                    # root sharded over the mesh axis: per-device masked
+                    # gather of the locally resident positions, partial
+                    # GEMM, psum of the (seg, wp) children — communication
+                    # is output-sized (n_k·wp per window), never
+                    # root-sized, and no device ever holds the full root
+                    def shard_body(rows_shard, sl_a, Wc_a):
+                        L = rows_shard.shape[0]
+                        off = jax.lax.axis_index(axis) * L
+                        loc = sl_a - off
+                        m = (loc >= 0) & (loc < L)
+                        Gp = jnp.where(
+                            m,
+                            rows_shard[jnp.clip(loc, 0, L - 1)].astype(
+                                mxu_dt
+                            ),
+                            jnp.zeros((), mxu_dt),
+                        )[None, :, :]
+                        Hp = jax.lax.dot_general(
+                            Gp, Wc_a,
+                            (((2,), (0,)), ((), ())),
+                            preferred_element_type=acc_dt,
+                            precision=prec,
+                        )
+                        return jax.lax.psum(Hp, axis)
+
+                    H = jax.shard_map(
+                        shard_body,
+                        mesh=mesh,
+                        in_specs=(
+                            PartitionSpec(axis),
+                            PartitionSpec(),
+                            PartitionSpec(),
+                        ),
+                        out_specs=PartitionSpec(),
+                    )(rows_flat, sl, Wc.astype(mxu_dt))
+                    Hf = H.reshape(seg * w_pad)
+                    sel = Hf[
+                        jnp.arange(seg, dtype=jnp.int32)[:, None] * w_pad
+                        + sel_b[None, :]
+                    ]
+                    if n_k == 1:
+                        return sel.reshape(-1).astype(store_dt)
+                    return sel.astype(store_dt)
                 if not multi:
                     # single piece, npar == 1 (the unsplit root): PLAIN
                     # element gather — positions are in-bounds by
@@ -912,9 +982,17 @@ def basis_change_packed(
             # of the product grid is b_lo + j and validity is the
             # (starts, counts) parent range per column
             ensure_reps_dev(blk)
+            # restrict the product grid to the valid parent prefix
+            # (pow-2 bucketed so kernel variants stay bounded): parents
+            # past the last group's end have no children in this window
+            need = max(p0 + c for _, p0, c in groups)
+            npe = 4096
+            while npe < need:
+                npe *= 2
+            npe = min(npe, blk.npar)
             out_buf = _fused_leaf_emit(
                 r, d, d_out, n_out, blk.npar, nb_pad,
-                str(store_dt), str(acc_dt),
+                str(store_dt), str(acc_dt), npe,
             )(out_buf, blk.U[0], Wdev, jnp.int32(b_lo), st_d, ct_d,
               blk.reps_dev)
             stats["emits"] = stats.get("emits", 0) + 1
@@ -1462,6 +1540,27 @@ def basis_change_packed(
     nbytes = root_vals.size * root_vals.dtype.itemsize
     if use_root_kernel:
         nbytes = 0  # keep whole
+    if mesh is not None:
+        # Sharded mode keeps the root RESIDENT-SHARDED over tp (the t = 0
+        # step masked-gathers per shard and psums children — see
+        # _step_kernel shard_root); pad so the shards divide evenly.
+        # Positions are < n by construction, so pads are never read.
+        nbytes = 0
+        ndev_tp = mesh.shape[tp_axis]
+        pad_root = (-root_vals.size) % ndev_tp
+        if pad_root:
+            root_vals = jnp.concatenate(
+                [root_vals, jnp.zeros((pad_root,), root_vals.dtype)]
+            )
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+        root_vals = jax.device_put(
+            root_vals, _NS(mesh, _P(tp_axis))
+        ) if not isinstance(root_vals, jax.core.Tracer) else (
+            jax.lax.with_sharding_constraint(
+                root_vals, _NS(mesh, _P(tp_axis))
+            )
+        )
     if nbytes > gmax:
         npieces = -(-nbytes // gmax)
         L = -(-root_vals.size // npieces)

@@ -186,3 +186,51 @@ def test_tensordot_sharded_operands_memory_scaling(mesh, rng):
 
         shard_len = (na + _pad_len(na, ntp)) // ntp
         assert shard_len < na
+
+
+def test_basis_change_sharded_root_memory(mesh, rng):
+    """The t=0 step kernel keeps the root SHARDED: per-device argument
+    bytes drop by root·(1−1/n_tp) relative to the replicated-root compile
+    of the same kernel (the 'A/n_dev per device' claim of the f32-at-
+    rank-6 story, docs/benchmarks.md).  AOT compile + memory_analysis —
+    no execution needed."""
+    from symtensor_tpu.ops import basis_change as bc
+    from symtensor_tpu.utils import combinatorics as comb
+    from symtensor_tpu.utils.tables import tables as _tables
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    r, d = 4, 24
+    k = r - 1
+    n = comb.indep_size(r, d)         # 17 550
+    n_k = comb.indep_size(k, d)       # 2 600
+    ntp = mesh.shape["tp"]
+    n_pad = n + ((-n) % ntp)
+    wp, nsel_pad, seg = 4, 4, 256
+    tbl = _tables(r, d).insert_table(k)
+    Wm = jnp.zeros((d, d + wp), jnp.float32)
+    bs = jnp.zeros((4,), jnp.int32)
+    root_sh = jax.device_put(
+        jnp.asarray(rng.normal(size=n_pad), jnp.float32),
+        NamedSharding(mesh, P("tp")),
+    )
+
+    def compile_one(mesh_axis, root):
+        kern = bc._step_kernel(
+            1, (n_pad,), n_k, d, k, wp, nsel_pad, seg,
+            "float32", "float32", False, mesh_axis,
+        )
+        return kern.lower(
+            (root,), tbl, Wm, 0, bs, bs, bs
+        ).compile().memory_analysis()
+
+    ma_sharded = compile_one((mesh, "tp"), root_sh)
+    ma_repl = compile_one(None, jax.device_put(
+        jnp.asarray(root_sh), NamedSharding(mesh, P())
+    ))
+    root_bytes = n_pad * 4
+    saved = ma_repl.argument_size_in_bytes - ma_sharded.argument_size_in_bytes
+    expect = root_bytes * (ntp - 1) // ntp
+    assert abs(saved - expect) <= 0.1 * root_bytes, (
+        f"sharded-root per-device argument bytes save {saved}, "
+        f"expected ≈ {expect} (root {root_bytes})"
+    )
