@@ -30,6 +30,10 @@ class TestDecompSuite(SymTensorSuite):
     tensordot) are additionally covered in tests/test_decomp.py."""
 
     tensor_cls = st.DecompSymmetricTensor
+
+    @pytest.mark.slow  # decomp tensordot compiles pairing-table programs
+    def test_tensordot_sweep(self):  # ~2 min; CI runs it (-m "")
+        super().test_tensordot_sweep()
     ranks_dims = ((2, 3), (3, 4), (4, 3))
     atol = 1e-8
     supports_updates = False  # reference forbids decomp __setitem__ too

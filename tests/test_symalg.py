@@ -498,7 +498,14 @@ def test_basis_change_wide_seg_select(rng, transient):
     )
 
 
-@pytest.mark.parametrize("rank,dim,row_w", [(5, 6, 2), (5, 6, 5), (6, 4, 3)])
+@pytest.mark.parametrize(
+    "rank,dim,row_w",
+    [
+        pytest.param(5, 6, 2, marks=pytest.mark.slow),  # ~50 s
+        (5, 6, 5),
+        pytest.param(6, 4, 3, marks=pytest.mark.slow),  # ~40 s
+    ],
+)
 def test_basis_change_per_row_path(rng, rank, dim, row_w, monkeypatch):
     """Per-parent-row case-kernel scheduling of wide mid levels (k ≥ 3)
     must be exact: each parent row is split into gflat group blocks and

@@ -81,6 +81,7 @@ def test_table_cache_identity():
     assert t.rep is t.rep  # memoized device array
 
 
+@pytest.mark.slow  # exhaustive (K, d) sweep, ~40 s; CI runs it
 def test_position_insert_matches_sort_rank():
     """Insert ranking (no sort, no per-element gathers) must agree with
     the sort-then-rank oracle for every rep x every inserted value."""
@@ -111,6 +112,7 @@ def test_position_insert_matches_sort_rank():
         assert np.array_equal(got, ref), (K, d)
 
 
+@pytest.mark.slow  # exhaustive sweep, ~30 s; CI runs it
 def test_position_base_matches_insert_for_tail_b():
     """Fused-leaf-emit base ranking: for ascending rep and any b >= max(rep),
     position(sort(rep u {b})) == base(rep) + b — children of one parent
