@@ -1119,7 +1119,16 @@ def basis_change_packed(
             # inside the terminal's AOT compile helper (program op count
             # ~Σ(d−g) slice ops drives compile memory/time); ~9 programs
             # at d = 100 under the default per-program budget.
-            budget = _env_int("SYMTENSOR_BASIS_ROOT_SLICES", 600)
+            # k-dependent default: the monolithic d-group program was
+            # SIGKILLed in the AOT compile helper only at k = 5 (the
+            # rank-6 root); the structurally identical k = 4 program
+            # compiles fine (CLAUDE.md), and one program per window cuts
+            # ~9 piece dispatches + 3 piece fences per window — the t=1
+            # per-row phase of the rank-6 flagship was dispatch-paced at
+            # 438 s/150 rows (round-3 VERDICT item 3).
+            budget = _env_int(
+                "SYMTENSOR_BASIS_ROOT_SLICES", 600 if k >= 5 else 10_000
+            )
             chunks = g_chunks(d, budget)
             rks = [
                 root_pass_kernel(
@@ -1256,7 +1265,16 @@ def basis_change_packed(
             )
 
             w = int(min(d_out, Rc, row_w_cap))
-            budget = _env_int("SYMTENSOR_BASIS_ROOT_SLICES", 600)
+            # k-dependent default: the monolithic d-group program was
+            # SIGKILLed in the AOT compile helper only at k = 5 (the
+            # rank-6 root); the structurally identical k = 4 program
+            # compiles fine (CLAUDE.md), and one program per window cuts
+            # ~9 piece dispatches + 3 piece fences per window — the t=1
+            # per-row phase of the rank-6 flagship was dispatch-paced at
+            # 438 s/150 rows (round-3 VERDICT item 3).
+            budget = _env_int(
+                "SYMTENSOR_BASIS_ROOT_SLICES", 600 if k >= 5 else 10_000
+            )
             chunks_g = g_chunks(d, budget)
             rks = [
                 root_pass_kernel(
