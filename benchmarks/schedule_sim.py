@@ -39,6 +39,14 @@ from symtensor_tpu.utils import combinatorics as comb
 EVENTS = []
 
 
+def _fz(shape, dt):
+    """Allocation-free fake device buffer: a numpy broadcast view (strides
+    0).  Supports everything the scheduler touches on block values —
+    shape/size/dtype, slicing, float(x[i]) fences — without memsetting
+    hundreds of GB (the first rank-6 sim spent ~35 min in zeros())."""
+    return np.broadcast_to(np.dtype(dt).type(0), shape)
+
+
 def _rec(kind, **kw):
     EVENTS.append((kind, kw))
 
@@ -56,7 +64,7 @@ def patch():
                 gather_elems=npar * n_k * d,
                 out_elems=nsel_pad * n_k,
             )
-            return jnp.zeros((nsel_pad * n_k,), jnp.dtype(store_dt))
+            return _fz((nsel_pad * n_k,), store_dt)
 
         return kern
 
@@ -107,7 +115,7 @@ def patch():
                 g1=(d if g1 is None else g1),
                 cols=cols, out_elems=npar * cols,
             )
-            return jnp.zeros((npar * cols,), jnp.dtype(store_dt))
+            return _fz((npar * cols,), store_dt)
 
         return kern
 
@@ -127,7 +135,7 @@ def patch():
     def fake_split(A_flat, k, d):
         _rec("split_root", elems=int(np.prod(A_flat.shape)))
         shapes = br.group_shapes(k, d)
-        return [jnp.zeros(s, A_flat.dtype) for s in shapes]
+        return [_fz(s, A_flat.dtype) for s in shapes]
 
     br.split_root_groups = fake_split
     return real_split
