@@ -314,6 +314,10 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
     (measured 2.6 s vs 0.058 s for the one-shot form at the rank-6
     L4→5 shape — benchmarks/select_form_probe.py, 45×)."""
     t_kp1 = tables(k + 1, d)
+    # seg is sized from the FULL level's n_k by the caller; a column
+    # window narrower than one segment (e.g. a width-1 last window) must
+    # clamp, or the n_k == 1 branch below mis-shapes its gather
+    seg = min(seg, n_k)
     # MXU operand dtype: bf16 blocks feed the MXU directly (one pass, f32
     # accumulation) — casting them to f32 + HIGHEST forces a 6-pass
     # decomposition that buys nothing on already-bf16 data (see
@@ -1404,6 +1408,19 @@ def basis_change_packed(
                 "SYMTENSOR_BASIS_GATHER_ELEMS", 4 * transient_elems
             )
             seg = int(max(1, min(n_k, gather_elems // max(1, cost))))
+            # Segment-count FLOOR: the ~10-15 ms per-gather-op fixed cost
+            # × nseg is a dominant share of deep-chunk time at rank-6
+            # (1 247 deep chunks × ~10-19 segments each — schedule_sim +
+            # docs/design_slab_gather.md round-4 note).  Allow the
+            # workspace to grow past the budget until a chunk runs in at
+            # most SYMTENSOR_BASIS_MAX_NSEG segments, bounded by a hard
+            # per-op workspace cap so huge (npar·d) chunks cannot OOM.
+            nseg_cap = max(1, _env_int("SYMTENSOR_BASIS_MAX_NSEG", 4))
+            hard = _env_int("SYMTENSOR_BASIS_SEG_HARD_ELEMS", 400_000_000)
+            seg_floor = min(
+                -(-n_k // nseg_cap), max(1, hard // max(1, cost))
+            )
+            seg = int(min(n_k, max(seg, seg_floor)))
             # Host-level COLUMN WINDOWING of long steps: a single program
             # with ~59k map steps (the rank-6 t=0 root pass) crashes the
             # TPU worker through the tunnel, while the identical kernel
