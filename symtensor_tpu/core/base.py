@@ -481,6 +481,35 @@ class SymmetricTensor:
         )
         return func(*densified, **kwargs)
 
+    @classmethod
+    def __get_pydantic_core_schema__(cls, source_type, handler):
+        """Pydantic-v2 field support: a SymmetricTensor field validates
+        from an instance or the JSON-codec dict and serializes through
+        `serialization.to_dict` — the reference embeds tensors in
+        pydantic models via its scityping codec (testing/api.py:420-424).
+        Only invoked when pydantic introspects the annotation; the
+        library works without pydantic installed."""
+        from pydantic_core import core_schema
+
+        from .. import serialization as _ser
+
+        def _validate(v):
+            if isinstance(v, SymmetricTensor):
+                return v
+            if isinstance(v, dict):
+                return _ser.from_dict(v)
+            raise TypeError(
+                "expected a SymmetricTensor or its serialization dict; "
+                f"got {type(v).__name__}"
+            )
+
+        return core_schema.no_info_plain_validator_function(
+            _validate,
+            serialization=core_schema.plain_serializer_function_ser_schema(
+                _ser.to_dict, info_arg=False
+            ),
+        )
+
     def __array__(self, dtype=None):
         """NumPy interop: densifies with a warning (reference base.py:1027)."""
         warnings.warn(

@@ -164,3 +164,22 @@ def test_reference_class_order_contract():
     assert list(_reference_class_indices((2, 2), 3)) == [
         (0, 0, 1, 1), (0, 0, 2, 2), (1, 1, 2, 2)
     ]
+
+
+def test_pydantic_model_embedding(rng):
+    """A SymmetricTensor as a pydantic-model field round-trips through
+    model JSON (reference testing/api.py:420-424)."""
+    pydantic = pytest.importorskip("pydantic")
+
+    class Foo(pydantic.BaseModel):
+        model_config = dict(arbitrary_types_allowed=True)
+        A: st.SymmetricTensor
+
+    for fmt in (st.FlatSymmetricTensor, st.PermClsSymmetricTensor):
+        A = fmt.from_dense(random_sym(3, 3, rng))
+        foo = Foo(A=A)
+        foo2 = Foo.model_validate_json(foo.model_dump_json())
+        assert isinstance(foo2.A, st.SymmetricTensor)
+        assert foo2.A.format == A.format
+        assert A.array_equal(foo2.A)
+        assert foo2.model_dump_json() == foo.model_dump_json()
