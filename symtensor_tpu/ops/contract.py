@@ -21,6 +21,7 @@
 from __future__ import annotations
 
 import math
+import os
 from collections import Counter
 from typing import Sequence
 
@@ -129,9 +130,22 @@ def _contract_vec_flat(A: FlatSymmetricTensor, x) -> jnp.ndarray:
             f"vector length {x.shape} must match dim {A.dim} "
             "(reference symalg.py:517)"
         )
-    from ..kernels.poly_eval import poly_eval_flat
+    # Concrete tensors: cached premul views + ONE jitted evaluation — the
+    # headline 11.5 ms path (bench.py). The eager per-group path dispatches
+    # ~6 small programs per group (~0.5 s/call at dim 100, and ~hundreds of
+    # first-use remote compiles on a fresh machine). Traced tensors (this
+    # op under the caller's jit over A): views can't be cached on tracers,
+    # so keep the barrier-copy path. Opt-out (e.g. to avoid the one-off
+    # full-size premul view copy on memory-tight devices):
+    # SYMTENSOR_EVAL_FAST=0.
+    from ..kernels.poly_eval import poly_eval_flat, poly_eval_flat_fast
 
-    return poly_eval_flat(A, x)
+    if (
+        isinstance(A.data, jax.core.Tracer)
+        or os.environ.get("SYMTENSOR_EVAL_FAST", "1") == "0"
+    ):
+        return poly_eval_flat(A, x)
+    return poly_eval_flat_fast(A, x)
 
 
 def _contract_vec_permcls(A: PermClsSymmetricTensor, x) -> jnp.ndarray:
