@@ -45,6 +45,7 @@ from symtensor_tpu.ops.outer import (
 from symtensor_tpu.kernels import gather_mm
 from symtensor_tpu.utils import combinatorics as comb
 from symtensor_tpu.utils.tables import tables
+from symtensor_tpu.config import config
 
 
 def fence(x):
@@ -137,6 +138,8 @@ def main():
     print(f"device = {jax.devices()[0]}", flush=True)
     floor = measure_floor()
     print(f"readback floor = {floor*1e3:.1f} ms", flush=True)
+    # the d=40/56 subset tables exceed the default 2e8-entry guard
+    config.max_table_entries = 600_000_000
     rows = []
     for dim in (20, 30, 40, 56):
         n = comb.indep_size(3, dim)

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.flat import FlatSymmetricTensor
 from ..utils import combinatorics as comb
-from ..utils.precision import value_prec
+from ..utils.precision import batched_value_prec, value_prec
 
 
 @lru_cache(maxsize=None)
@@ -330,12 +330,12 @@ def _views_eval_batched_premul_jitted(rank: int, dim: int):
                 V,
                 (((1,), (ax,)), ((), ())),
                 preferred_element_type=ct,
-                precision=value_prec(V.dtype),
+                precision=batched_value_prec(V.dtype),
             )  # (B, Pj)
             q = jnp.where(maxel[:Pj] == j, maxrun[:Pj], 0).astype(ct)
             w = M[:, :Pj] * (xs[:, j : j + 1] / (q + 1.0)[None, :])
             total = total + jnp.einsum(
-                "bp,bp->b", w, u, precision=value_prec(ct)
+                "bp,bp->b", w, u, precision=batched_value_prec(ct)
             )
         return float(math.factorial(rank)) * total
 
@@ -388,7 +388,7 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     if r == 0:
         return jnp.broadcast_to(vals[0].astype(ct), (B,))
     if r == 1:
-        return jnp.dot(xs, vals.astype(ct), precision=value_prec(ct))
+        return jnp.dot(xs, vals.astype(ct), precision=batched_value_prec(ct))
 
     t = A.tables
     ta, tb = t.tri_pairs
@@ -397,7 +397,9 @@ def poly_eval_flat_batched(A: FlatSymmetricTensor, xs) -> jnp.ndarray:
     tri = tri * (1.0 - 0.5 * diag)[None, :]
 
     if r == 2:
-        return 2.0 * jnp.dot(tri, vals.astype(ct), precision=value_prec(ct))
+        return 2.0 * jnp.dot(
+            tri, vals.astype(ct), precision=batched_value_prec(ct)
+        )
 
     M, maxel, maxrun = _batched_head_weights(t, xs, r, ct)
     get_V = _barrier_view_getter(vals, r, d)
@@ -417,7 +419,7 @@ def _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct):
             mat,
             (((1,), (contract_axis,)), ((), ())),
             preferred_element_type=ct,
-            precision=value_prec(mat.dtype),
+            precision=batched_value_prec(mat.dtype),
         )
 
     for j in range(d):
@@ -440,7 +442,7 @@ def _eval_core_batched(get_V, tri, xs, M, maxel, maxrun, r, d, ct):
         c3 = c1 * (2.0 / ((q + 2) * (q + 3)) - 1.0 / (q + 2))[None, :]
         total = total + jnp.einsum(
             "bp,bp->b", M[:, :Pj], c1 * u_full + c2 * u_row + c3 * u_cell,
-            precision=value_prec(ct),
+            precision=batched_value_prec(ct),
         )
     return float(math.factorial(r)) * total
 

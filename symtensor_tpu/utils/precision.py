@@ -62,3 +62,31 @@ def value_prec(operand_dtype):
     if jax.config.jax_default_matmul_precision is not None:
         return None  # respect the user's global choice
     return jax.lax.Precision.HIGHEST
+
+
+def batched_value_prec(operand_dtype):
+    """Precision for the EXPLICIT batched-evaluation GEMMs: HIGH (3 MXU
+    passes — the hardware's own Ah·Bh + Ah·Bl + Al·Bh split) instead of
+    HIGHEST (6 passes).
+
+    Measured same-process on v5e (rank-4 dim-100, B = 1024,
+    ``benchmarks/batched_f32_high_probe.py``, 2026-08-20): HIGH 0.60 ms at
+    normalized error 8.8e-6 vs the f64 oracle, HIGHEST 29.3 ms at 3.7e-7,
+    DEFAULT 0.45 ms at 2.1e-3, true-bf16 storage 0.54 ms at 2.0e-3.  HIGH
+    matches bf16 throughput with ~230× better accuracy; HIGHEST's 6-pass
+    lowering is pathologically slow on wide-batch GEMMs.
+
+    Scope: only ``poly_eval_flat_batched*`` uses this.  ``vmap`` of the
+    single-input op still carries HIGHEST (value_prec — the policy is read
+    at trace time, where the scalar path cannot know it is being vmapped),
+    as does everything else.  The same SYMTENSOR_VALUE_PRECISION /
+    jax_default_matmul_precision overrides apply."""
+    dt = jnp.dtype(operand_dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        return None
+    env = os.environ.get("SYMTENSOR_VALUE_PRECISION", "").lower()
+    if env in _ENV_MAP:
+        return _ENV_MAP[env]
+    if jax.config.jax_default_matmul_precision is not None:
+        return None  # respect the user's global choice
+    return jax.lax.Precision.HIGH

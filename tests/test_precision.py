@@ -19,7 +19,7 @@ import pytest
 import symtensor_tpu as st
 from symtensor_tpu import symalg
 from symtensor_tpu.testing.utils import random_symmetric
-from symtensor_tpu.utils.precision import value_prec
+from symtensor_tpu.utils.precision import batched_value_prec, value_prec
 
 
 def _make(rank, dim, rng, dtype, fmt):
@@ -34,6 +34,17 @@ def test_policy_defaults(monkeypatch):
     assert value_prec(jnp.float64) == jax.lax.Precision.HIGHEST
     assert value_prec(jnp.bfloat16) is None
     assert value_prec(jnp.int32) is None
+
+
+def test_batched_policy_defaults(monkeypatch):
+    # explicit batched GEMMs default to HIGH (3 MXU passes): measured
+    # 0.60 ms at norm err 8.8e-6 vs HIGHEST's 29.3 ms at 3.7e-7 on v5e
+    # (benchmarks/batched_f32_high_probe.py)
+    monkeypatch.delenv("SYMTENSOR_VALUE_PRECISION", raising=False)
+    assert batched_value_prec(jnp.float32) == jax.lax.Precision.HIGH
+    assert batched_value_prec(jnp.bfloat16) is None
+    monkeypatch.setenv("SYMTENSOR_VALUE_PRECISION", "highest")
+    assert batched_value_prec(jnp.float32) == jax.lax.Precision.HIGHEST
 
 
 def test_policy_env_override(monkeypatch):
@@ -82,14 +93,19 @@ def test_vmapped_eval_hlo_carries_highest(fmt, rng):
     _assert_all_dots_highest(f.lower(xs).as_text())
 
 
-def test_batched_kernel_hlo_carries_highest(rng):
+def test_batched_kernel_hlo_carries_high(rng):
+    """The explicit batched kernel's dots carry HIGH (the batched policy;
+    see batched_value_prec) — never DEFAULT, which would bf16-truncate."""
     from symtensor_tpu.kernels.poly_eval import poly_eval_flat_batched
 
     r, d = 4, 6
     A = _make(r, d, rng, jnp.float32, "flat")
     xs = jnp.asarray(rng.normal(size=(8, d)), dtype=jnp.float32)
     hlo = jax.jit(lambda xb: poly_eval_flat_batched(A, xb)).lower(xs).as_text()
-    _assert_all_dots_highest(hlo)
+    dot_lines = [ln for ln in hlo.splitlines() if "dot_general" in ln]
+    assert dot_lines, "no dot_general ops found in lowered program"
+    for line in dot_lines:
+        assert "HIGH" in line, line  # HIGH or HIGHEST; bare dots forbidden
 
 
 def test_vmapped_matches_eager(rng):
