@@ -25,7 +25,7 @@ from . import ops
 from . import ops as symalg
 from . import utils
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "config",

@@ -46,6 +46,27 @@ class Config:
 config = Config()
 
 
+def _host_fingerprint() -> str:
+    """Short stable fingerprint of this host's CPU (arch + feature flags).
+    Used to key the persistent compile cache per machine image."""
+    import hashlib
+    import platform as _platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feats = _platform.processor()
+    h = hashlib.sha1(
+        f"{_platform.machine()}|{feats}".encode()
+    ).hexdigest()[:10]
+    return f"host-{h}"
+
+
 def enable_persistent_compile_cache() -> str | None:
     """Point JAX's persistent compilation cache at a local directory.
 
@@ -63,6 +84,13 @@ def enable_persistent_compile_cache() -> str | None:
     - ``SYMTENSOR_COMPILE_CACHE=0`` (or ``off``) disables;
     - a user-set ``jax_compilation_cache_dir`` is left untouched.
 
+    The directory is suffixed with a HOST FINGERPRINT (machine arch + CPU
+    feature flags): JAX's own cache key covers the platform and compiler
+    version but not the host CPU features, so a cache directory shared
+    across machine images can serve XLA:CPU executables compiled for a
+    different microarchitecture (XLA warns this "could lead to execution
+    errors such as SIGILL" — seen in the round-4 multichip dryrun).
+
     Returns the cache dir in use, or None when disabled/unavailable.
     """
     import os
@@ -76,9 +104,10 @@ def enable_persistent_compile_cache() -> str | None:
         current = jax.config.jax_compilation_cache_dir
         if current:
             return current
-        path = env or os.path.join(
+        base = env or os.path.join(
             os.path.expanduser("~"), ".cache", "symtensor_tpu", "jax_cache"
         )
+        path = os.path.join(base, _host_fingerprint())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # anything under a second is cheaper to recompile than to store

@@ -472,7 +472,14 @@ class SymmetricTensor:
             )
         handler = _array_function_impls().get(func)
         if handler is not None:
-            res = handler(*args, **kwargs)
+            hkw = kwargs
+            if func in (_np.asarray, _np.asanyarray, _np.empty):
+                # NEP-35 creation functions: numpy strips `like=` before
+                # dispatching — the like object is `self`.  Injected only
+                # for the handler call: the densify fallback below must
+                # not re-trigger dispatch through a SymmetricTensor like.
+                hkw = {**kwargs, "like": kwargs.get("like", self)}
+            res = handler(*args, **hkw)
             if res is not NotImplemented:
                 return res
         densified = tuple(
@@ -564,9 +571,6 @@ class _AtRef:
                 )
             return setter_el(t._canon_index(key), value)
         if key is Ellipsis:
-            # whole-tensor assignment from dense-like data
-            from .dense import DenseSymmetricTensor  # noqa: F401
-
             raise IndexError("whole-tensor assignment: construct a new tensor")
         raise IndexError(f"unsupported update key {key!r}")
 
@@ -644,6 +648,60 @@ def _array_function_impls() -> dict:
             return NotImplemented
         return bool(jnp.any(a.toflat().data))
 
+    def _asarray(a=None, dtype=None, order=None, *, like=None, **kwargs):
+        # NEP-35: np.asarray only reaches __array_function__ when `like=`
+        # is passed, or when `a` itself is a SymmetricTensor AND like= is
+        # present (reference base.py:1467-1485 relies on its
+        # make_array_like bypass for the plain form; here the plain form
+        # densifies through __array__ as documented).  These handlers are
+        # TERMINAL (they raise instead of returning NotImplemented):
+        # the generic fallback re-calls func with `like=` intact, which
+        # would dispatch right back here.
+        if isinstance(a, SymmetricTensor):
+            return a if dtype is None or jnp.dtype(dtype) == a.dtype \
+                else a.astype(dtype)
+        if isinstance(like, SymmetricTensor) and a is not None:
+            arr = np.asarray(a, dtype=dtype)
+            if arr.shape != (like.dim,) * arr.ndim:
+                raise ValueError(
+                    f"np.asarray(..., like=<{type(like).__name__}>) needs "
+                    f"square data of dim {like.dim}; got shape {arr.shape}"
+                )
+            return type(like).from_dense(arr)
+        return NotImplemented
+
+    def _empty(shape, dtype=None, order="C", *, like=None, **kwargs):
+        # np.empty(shape, like=A) → a zero tensor of A's format (the
+        # reference returns its default-constructed empty tensor,
+        # base.py:1493-1505); shape must be square.  Terminal — see
+        # _asarray.
+        if not isinstance(like, SymmetricTensor):
+            return NotImplemented
+        if isinstance(shape, (int, np.integer)):
+            shape = (int(shape),)
+        shape = tuple(int(s) for s in shape)
+        if len(set(shape)) > 1:
+            raise ValueError(
+                "np.empty(like=SymmetricTensor) needs a square shape; "
+                f"got {shape} (reference base.py:1496)"
+            )
+        rank = len(shape)
+        dim = shape[0] if shape else like.dim
+        zeros = getattr(type(like), "zeros", None)
+        if zeros is not None:
+            return zeros(rank, dim, dtype=dtype)
+        # formats without a zeros helper (sparse): build through flat
+        from .flat import FlatSymmetricTensor as _Flat
+
+        flat = _Flat.zeros(rank, dim, dtype=dtype)
+        from_flat = getattr(type(like), "from_flat", None)
+        if from_flat is None:
+            raise TypeError(
+                f"{type(like).__name__} has no zeros/from_flat constructor "
+                "for np.empty(like=...)"
+            )
+        return from_flat(flat)
+
     _ARRAY_FUNCTION_IMPLS.update(
         {
             np.allclose: _allclose,
@@ -652,6 +710,9 @@ def _array_function_impls() -> dict:
             np.result_type: _result_type,
             np.all: _all,
             np.any: _any,
+            np.asarray: _asarray,
+            np.asanyarray: _asarray,
+            np.empty: _empty,
         }
     )
     return _ARRAY_FUNCTION_IMPLS

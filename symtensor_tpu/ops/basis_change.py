@@ -1580,8 +1580,20 @@ def basis_change_packed(
         # step masked-gathers per shard and psums children — see
         # _step_kernel shard_root); pad so the shards divide evenly.
         # Positions are < n by construction, so pads are never read.
-        nbytes = 0
+        # The oversized-root split below cannot apply (pieces would break
+        # the shard layout), so the per-SHARD gather source must itself
+        # stay under the worker's ~2 GB gather-operand limit.
         ndev_tp = mesh.shape[tp_axis]
+        if nbytes / ndev_tp > gmax:
+            raise ValueError(
+                f"sharded basis change: per-shard root gather source "
+                f"{nbytes / ndev_tp / 1e9:.2f} GB exceeds "
+                f"SYMTENSOR_GATHER_MAX_BYTES = {gmax / 1e9:.2f} GB "
+                f"(root {nbytes / 1e9:.2f} GB over {ndev_tp} '{tp_axis}' "
+                "devices); use more devices, bf16 storage, or the "
+                "single-device path (which splits the root into pieces)"
+            )
+        nbytes = 0
         pad_root = (-root_vals.size) % ndev_tp
         if pad_root:
             root_vals = jnp.concatenate(

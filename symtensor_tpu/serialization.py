@@ -278,7 +278,10 @@ def from_reference_json(payload) -> PermClsSymmetricTensor:
 
     t = tables(rank, dim)
     n = comb.indep_size(rank, dim)
-    flat = np.zeros((n,), dtype=np.float64)
+    # Decode every class first so the staging buffer's dtype can honor
+    # complex payloads (the reference is dtype-generic; a float64 staging
+    # buffer would silently discard imaginary parts).
+    decoded = []
     out_dtype = None
     for key_str, arr_payload in data.items():
         counts = tuple(int(c) for c in re.findall(r"\d+", str(key_str)))
@@ -287,11 +290,28 @@ def from_reference_json(payload) -> PermClsSymmetricTensor:
                 f"σ-class key {key_str!r} has rank {sum(counts)}, "
                 f"expected {rank}"
             )
+        if any(a < b for a, b in zip(counts, counts[1:])):
+            # the reference's canonical class representation is
+            # non-increasing multiplicities (utils._perm_classes); a
+            # malformed key like "(1, 2)" would otherwise be enumerated
+            # in a different order and land values at wrong positions
+            raise ValueError(
+                f"σ-class key {key_str!r} is not in canonical "
+                "(non-increasing) multiplicity order"
+            )
         vals = _decode_reference_array(arr_payload)
+        decoded.append((key_str, counts, vals))
         if out_dtype is None or np.promote_types(vals.dtype, out_dtype) != out_dtype:
             out_dtype = np.promote_types(
                 vals.dtype, out_dtype or vals.dtype
             )
+    stage_dt = (
+        np.complex128
+        if out_dtype is not None and np.issubdtype(out_dtype, np.complexfloating)
+        else np.float64
+    )
+    flat = np.zeros((n,), dtype=stage_dt)
+    for key_str, counts, vals in decoded:
         if rank == 0:
             flat[0] = vals.reshape(-1)[0]
             continue
@@ -318,3 +338,40 @@ def from_reference_json(payload) -> PermClsSymmetricTensor:
         rank, dim, jnp.asarray(flat.astype(out_dtype))
     )
     return PermClsSymmetricTensor.from_flat(ft)
+
+
+def to_reference_payload(t: SymmetricTensor) -> tuple:
+    """Export a tensor in the REFERENCE library's ``Data.encode`` layout
+    (permcls_symtensor.py:686-708): ``(rank, dim, {str(σ-count-tuple):
+    values})`` with every σ-class of the rank present (the reference's
+    ``items()`` iterates ``utils._perm_classes``) and per-class values in
+    the reference's σindex_iter enumeration order.  Inverse of
+    :func:`from_reference_json` — importing a payload and exporting it
+    again reproduces the original dict exactly (up to array dtype)."""
+    rank, dim = t.rank, t.dim
+    flat = np.asarray(t.toflat().data)
+    tab = tables(rank, dim) if rank >= 2 else None
+    out = {}
+    for counts in comb.perm_classes(rank):
+        if rank == 0:
+            out[str(counts)] = np.asarray(flat.reshape(-1)[0])
+            continue
+        idx = np.array(
+            list(_reference_class_indices(counts, dim)), dtype=np.int64
+        ).reshape(-1, rank)
+        if idx.shape[0] == 0:
+            out[str(counts)] = np.zeros((0,), flat.dtype)
+            continue
+        srt = np.sort(idx, axis=1)
+        pos = srt[:, 0] if rank == 1 else tab.layout.position_array(srt)
+        out[str(counts)] = flat[pos]
+    return (rank, dim, out)
+
+
+def to_reference_json(t: SymmetricTensor) -> str:
+    """JSON form of :func:`to_reference_payload` (arrays as plain lists,
+    matching what the reference's scityping JSON round-trip contains)."""
+    rank, dim, data = to_reference_payload(t)
+    return json.dumps(
+        (rank, dim, {k: np.asarray(v).tolist() for k, v in data.items()})
+    )

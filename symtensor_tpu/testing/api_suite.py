@@ -154,6 +154,28 @@ class SymTensorSuite:
             assert not np.any(far)
         assert isinstance(close, SymmetricTensor)
 
+    def test_np_asarray_like_and_empty(self):
+        """np.asarray(A, like=A) and np.empty(shape, like=A) stay
+        compressed — native NEP-35 handlers, no densify warning
+        (reference base.py:1467-1505)."""
+        from ..core.base import SymmetricTensor
+        from .utils import does_not_warn
+
+        rng = self._rng()
+        rank, dim = self.ranks_dims[0]
+        a, _ = self.make(rank, dim, rng)
+        with does_not_warn(match="densifying"):
+            same = np.asarray(a, like=a)
+            assert same is a
+            empty = np.empty((dim,) * rank, like=a)
+        assert isinstance(empty, SymmetricTensor)
+        assert (empty.rank, empty.dim) == (rank, dim)
+        assert not np.any(empty)
+        import pytest
+
+        with pytest.raises(ValueError):
+            np.empty((dim, dim + 1), like=a)
+
     def test_dict_style_iteration(self):
         """keys()/values()/items() expose the storage layout; __iter__
         yields the dim rank-(r−1) sub-tensors (reference base.py:751,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import contextlib
+import re
 import warnings
 
 import numpy as np
@@ -12,7 +13,8 @@ import numpy as np
 def does_not_warn(category=Warning, match=None):
     """Inverse of pytest.warns: fail if a matching warning is emitted
     (reference testing/utils.py:3-16).  With `match`, only warnings whose
-    message contains the substring count."""
+    message matches the regex count (``re.search``, the same semantics as
+    ``pytest.warns(match=...)``)."""
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         yield
@@ -20,7 +22,7 @@ def does_not_warn(category=Warning, match=None):
         w
         for w in rec
         if issubclass(w.category, category)
-        and (match is None or match in str(w.message))
+        and (match is None or re.search(match, str(w.message)))
     ]
     if bad:
         raise AssertionError(
