@@ -140,12 +140,22 @@ def main():
         print("big-n mode: RHS evaluated up front, root donated, 1 pass",
               flush=True)
 
+    def thr_stats():
+        from symtensor_tpu.ops import basis_change as _bc
+
+        thr = _bc._LAST_THROTTLE
+        if thr is not None:
+            return (f" [throttle: {thr.fences} fences / {thr.adds} "
+                    f"dispatches, budget {thr.budget/1e9:.1f} GB]")
+        return ""
+
     t0 = time.time()
     C = basis_change_packed(A, W, **kw)
     fence(C.data[:1])
     t_first = time.time() - t0
     t_warm = t_first
-    print(f"basis change pass 1 (incl. compile): {t_first:.1f}s", flush=True)
+    print(f"basis change pass 1 (incl. compile): {t_first:.1f}s"
+          + thr_stats(), flush=True)
 
     # pass 2 isolates compile time but doubles chip time — skippable for
     # the multi-hour flagship size (SYMTENSOR_FLAGSHIP_PASSES=1)
@@ -156,7 +166,8 @@ def main():
         C = basis_change_packed(A, W, **kw)
         fence(C.data[:1])
         t_warm = time.time() - t0
-        print(f"basis change pass 2 (warm): {t_warm:.1f}s", flush=True)
+        print(f"basis change pass 2 (warm): {t_warm:.1f}s"
+              + thr_stats(), flush=True)
 
     # on-chip correctness identity: C·x^r == A·(Wx)^r
     if fake:

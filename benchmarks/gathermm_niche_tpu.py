@@ -106,42 +106,100 @@ def paired_k0(af, bf):
     return lambda: fn(af.data, bf.data, fused)
 
 
+@jax.jit
+def _subset_loop_fn(a, b, ta, tb):
+    # tables are ARGUMENTS: closed-over tables get baked into the program
+    # as constants, whose serialized form blew the remote-compile helper's
+    # HTTP 413 upload cap at d = 40 (round-4 probe failure)
+    acc = None
+    for s in range(ta.shape[0]):
+        term = a[ta[s]] * b[tb[s]]
+        acc = term if acc is None else acc + term
+    return acc / ta.shape[0]
+
+
 def subset_loop(af, bf):
     ta, tb = _subset_tables(af.rank, bf.rank, af.dim)
+    ta_d, tb_d = jnp.asarray(ta), jnp.asarray(tb)
+    return lambda: _subset_loop_fn(af.data, bf.data, ta_d, tb_d)
 
-    @jax.jit
-    def fn(a, b):
-        acc = None
-        for s in range(ta.shape[0]):
-            term = a[ta[s]] * b[tb[s]]
-            acc = term if acc is None else acc + term
-        return acc / ta.shape[0]
 
-    return lambda: fn(af.data, bf.data)
+@jax.jit
+def _einsum_tables_fn(a, b, A_tab, B_tab, gam):
+    acc = None
+    for s in range(A_tab.shape[0]):
+        term = jnp.einsum("c,co->o", gam, a[A_tab[s]] * b[B_tab[s]])
+        acc = term if acc is None else acc + term
+    return acc / A_tab.shape[0]
 
 
 def einsum_tables(af, bf, k):
     A_tab, B_tab, gam, n_sub = _tensordot_tables(af.rank, bf.rank, k, af.dim)
+    A_d, B_d, g_d = jnp.asarray(A_tab), jnp.asarray(B_tab), jnp.asarray(gam)
+    return lambda: _einsum_tables_fn(af.data, bf.data, A_d, B_d, g_d)
 
-    @jax.jit
-    def fn(a, b):
-        acc = None
-        for s in range(n_sub):
-            term = jnp.einsum("c,co->o", gam, a[A_tab[s]] * b[B_tab[s]])
-            acc = term if acc is None else acc + term
-        return acc / n_sub
 
-    return lambda: fn(af.data, bf.data)
+@jax.jit
+def _xla_gather_combine_fn(a, b, idxA, idxB, w):
+    return jnp.einsum(
+        "r,ro->o", w, a[idxA] * b[idxB],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def synthetic_crossover(floor, n_srcs=(11480, 30856, 64824, 131072),
+                        n_out=2_000_000, R=20):
+    """One-hot-MXU vs XLA gather as a function of SOURCE size alone.
+
+    The real outer at d ≥ 56 cannot host the comparison (its (n_sub,
+    C(d+5,6)) subset tables are multi-GB), but the crossover depends on
+    n_src, not on which op the gather serves: one-hot costs ~n_src MXU
+    MACs per gathered element while XLA's gather rate is n_src-
+    independent.  Random (R, n_out) indices into an (n_src,) source give
+    the crossover directly; n_src values bracket d = 40/56/72 rank-3
+    table sizes and the current _MAX_SRC cap."""
+    rows = []
+    for n_src in n_srcs:
+        key = jax.random.PRNGKey(n_src)
+        a = jax.random.normal(key, (n_src,), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(n_src + 1), (n_src,),
+                              jnp.float32)
+        idxA = jax.random.randint(
+            jax.random.PRNGKey(2), (R, n_out), 0, n_src, jnp.int32)
+        idxB = jax.random.randint(
+            jax.random.PRNGKey(3), (R, n_out), 0, n_src, jnp.int32)
+        w = jnp.full((R,), 1.0 / R, jnp.float32)
+        res = {}
+        res["xla"] = device_time(
+            lambda: _xla_gather_combine_fn(a, b, idxA, idxB, w), floor)
+        res["gather_mm"] = device_time(
+            lambda: gather_mm.gather_combine(a, b, idxA, idxB, weights=w),
+            floor)
+        got = gather_mm.gather_combine(a, b, idxA, idxB, weights=w)
+        ref = _xla_gather_combine_fn(a, b, idxA, idxB, w)
+        res["rel"] = float(jnp.max(jnp.abs(got - ref)) /
+                           (jnp.max(jnp.abs(ref)) + 1e-30))
+        rows.append((n_src, res))
+        print(f"synthetic n_src={n_src:7d}: "
+              f"gather_mm={res['gather_mm']*1e3:8.2f}ms  "
+              f"xla={res['xla']*1e3:8.2f}ms  rel={res['rel']:.1e}",
+              flush=True)
+    return rows
 
 
 def main():
     print(f"device = {jax.devices()[0]}", flush=True)
     floor = measure_floor()
     print(f"readback floor = {floor*1e3:.1f} ms", flush=True)
-    # the d=40/56 subset tables exceed the default 2e8-entry guard
+    # source-size crossover first (cheap, covers d = 40/56/72-equivalent
+    # source sizes that the real outer's multi-GB tables cannot host)
+    synthetic_crossover(floor)
+    # the d=40 subset tables exceed the default 2e8-entry guard
     config.max_table_entries = 600_000_000
     rows = []
-    for dim in (20, 30, 40, 56):
+    # d = 56 outer dropped: its (20, C(61,6)) subset tables are ~4.4 GB
+    # EACH — the synthetic sweep above carries the crossover beyond d=40
+    for dim in (20, 30, 40):
         n = comb.indep_size(3, dim)
         key = jax.random.PRNGKey(dim)
         a = FlatSymmetricTensor._raw(

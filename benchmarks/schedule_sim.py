@@ -199,8 +199,14 @@ def main():
             f"{f}={p[f]:.3g}" for f in
             ("gather_elems", "out_elems", "slots", "elems", "read_elems")
             if p.get(f)) + f"  model≈{model:.1f}s")
+    thr = bc._LAST_THROTTLE
+    if thr is not None:
+        print(f"throttle: {thr.fences} fences over {thr.adds} dispatches "
+              f"(budget {thr.budget/1e9:.1f} GB)"
+              + (f" [legacy cadence {thr.every}]" if thr.every else ""))
+        total_model += thr.fences * 0.1
     print(f"model total ≈ {total_model:.1f}s "
-          f"(+ fences/dispatch exposure not modeled)")
+          f"(incl. fences at ~0.1s; dispatch exposure not modeled)")
 
 
 if __name__ == "__main__":

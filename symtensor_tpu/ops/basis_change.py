@@ -63,45 +63,75 @@ def _fence_every() -> int:
     return _env_int("SYMTENSOR_BASIS_FENCE_EVERY", 4)
 
 
-def _emit_fence_every() -> int:
-    """Leaf emits are fenced far more sparsely than step chunks: a queued
-    emit holds no new device buffers (the output is donated through the
-    chain and its operands are the already-resident parent block), while a
-    fence through the axon tunnel exposes ~0.4 s of round-trip latency per
-    op (measured: 13 pipelined 7.4M-slot emits drain in 0.9 s total where
-    individually fenced ones cost ~0.44 s EACH — benchmarks/
-    emit_form_probe.py vs the fenced flagship timeline).  The leaf loop
-    additionally fences once per parent block, so this only bounds the
-    in-flight queue inside one block.
+class _InflightThrottle:
+    """Bound the bytes of asynchronously dispatched, not-yet-fenced work.
 
-    An explicit SYMTENSOR_BASIS_FENCE_EVERY (the per-chunk attribution
-    knob) also caps the emit cadence so fenced debugging runs keep
-    accurate per-emit timestamps."""
-    ev = _env_int("SYMTENSOR_BASIS_EMIT_FENCE_EVERY", 16)
-    if "SYMTENSOR_BASIS_FENCE_EVERY" in os.environ:
-        return min(_fence_every(), ev)
-    return ev
+    Dispatch through the axon tunnel is fully asynchronous, and the only
+    reliable fence is a scalar readback (~31 ms floor, up to seconds in
+    bad tunnel conditions — CLAUDE.md).  Through round 4 fences were
+    cadence-based (after every column window, every root piece triple,
+    every row split, every 4th/16th emit): ~1,300 fence sites at the
+    rank-6 flagship, the dominant share of its 740 s warm time
+    (schedule_sim counts 2,940 dispatches vs a ~171 s volume model).
+
+    Fences exist only to keep queued buffers from exhausting HBM, so this
+    throttle counts the estimated bytes each dispatch allocates (outputs
+    + uploads + declared gather/product workspaces) and fences only when
+    the running total passes ``SYMTENSOR_BASIS_INFLIGHT_BYTES`` (default
+    3 GB).  The TPU stream is FIFO, so one readback on the most recent
+    output drains everything dispatched before it.
+
+    Attribution compatibility: when ``SYMTENSOR_BASIS_FENCE_EVERY`` is
+    set explicitly, the throttle drains every Nth ``add`` instead, so
+    fenced debugging runs keep accurate per-dispatch timestamps."""
+
+    __slots__ = ("budget", "every", "pending", "adds", "last", "fences")
+
+    def __init__(self):
+        self.budget = _env_int(
+            "SYMTENSOR_BASIS_INFLIGHT_BYTES", 3_000_000_000
+        )
+        self.every = (
+            _fence_every()
+            if "SYMTENSOR_BASIS_FENCE_EVERY" in os.environ
+            else 0
+        )
+        self.pending = 0
+        self.adds = 0
+        self.last = None
+        self.fences = 0
+
+    def add(self, nbytes, out=None, transient=0) -> bool:
+        """Record a dispatch allocating ~nbytes that stay live until
+        consumed (outputs, uploads) plus ~transient bytes of workspace
+        that the program frees when it finishes.  Executions run
+        serially, so transients never stack: they count against the
+        remaining headroom but do not accumulate.  Fences when over
+        budget; returns True when a drain actually happened."""
+        self.pending += int(nbytes)
+        self.adds += 1
+        if out is not None and not isinstance(out, jax.core.Tracer):
+            self.last = out
+        if self.every:
+            if self.adds % self.every == 0:
+                return self.drain()
+            return False
+        if self.pending + int(transient) >= self.budget:
+            return self.drain()
+        return False
+
+    def drain(self) -> bool:
+        arr = self.last
+        self.pending = 0
+        self.last = None
+        if arr is None:
+            return False
+        float(arr[(0,) * arr.ndim])  # scalar readback = the only fence
+        self.fences += 1
+        return True
 
 
-def _piece_fence_every() -> int:
-    """Fence cadence INSIDE one multi-program root/row window.
-
-    When the host-unrolled root pass is chunked into ~9 programs (the
-    SYMTENSOR_BASIS_ROOT_SLICES budget at d=100), fencing after every
-    piece costs ~9 tunnel round-trips (>=31 ms each, ~0.3 s) per window
-    — a measurable share of the ~1.4 s warm per-row window (pass-B
-    attribution, benchmarks/root_window_attrib.py).  Each un-fenced
-    piece keeps at most one chunk's gather workspace in flight, so a
-    cadence of 3 bounds extra peak memory to ~2 workspaces while
-    cutting the round-trips 3x.  The window-level fence after the loop
-    still drains everything.
-
-    An explicit SYMTENSOR_BASIS_FENCE_EVERY (per-chunk attribution
-    knob) forces cadence 1 so fenced debugging runs keep accurate
-    per-piece timestamps."""
-    if "SYMTENSOR_BASIS_FENCE_EVERY" in os.environ and _fence_every() == 1:
-        return 1
-    return max(1, _env_int("SYMTENSOR_BASIS_PIECE_FENCE_EVERY", 3))
+_LAST_THROTTLE: "_InflightThrottle | None" = None
 
 
 # ---------------------------------------------------------------------------
@@ -973,75 +1003,92 @@ def basis_change_packed(
             blk.reps_dev = jnp.asarray(
                 np.ascontiguousarray(rp.T).reshape(-1)
             )
+            thr.add(rp.nbytes)
 
-    def run_chunk(t, blk, kern, tbl_arg, b_lo, groups, nsel_pad, nb_pad):
+    def run_chunk(t, blk, kern, tbl_arg, b_lo, groups, nsel_pad, nb_pad,
+                  ws_est=0):
         nonlocal out_buf
         stats["chunks"] += 1
         child_level = t + 1
         nsel = sum(c for _, _, c in groups)
-        bs_d, st_d, ct_d = _group_descriptors(groups, nb_pad)
         if kern is None:  # fused leaf (eligibility decided in process())
-            # fused k=0 step + emit: the group b-values are consecutive
+            # Fused k=0 step + emit: the group b-values are consecutive
             # from b_lo by construction (see the chunk loop), so column j
             # of the product grid is b_lo + j and validity is the
-            # (starts, counts) parent range per column
+            # (starts, counts) parent range per column.
+            #
+            # STAIRCASE TILING (round 5): counts ascend with b, so one
+            # grid sized by the LAST group's parent need scatters up to
+            # ~5× the valid slots (schedule_sim at rank-6 dim-100:
+            # 7.69e9 scattered for 1.6e9 valid; scatter floor is
+            # ~105 M slots/s, so the waste was ~50 s of device time).
+            # Split the window into runs of groups sharing a pow-2
+            # parent-need bucket and dispatch one exact-height grid per
+            # run — dispatches are cheap once the throttle (not a
+            # cadence) decides the fences.
             ensure_reps_dev(blk)
-            # restrict the product grid to the valid parent prefix
-            # (pow-2 bucketed so kernel variants stay bounded): parents
-            # past the last group's end have no children in this window
-            need = max(p0 + c for _, p0, c in groups)
-            npe = 4096
-            while npe < need:
-                npe *= 2
-            npe = min(npe, blk.npar)
-            out_buf = _fused_leaf_emit(
-                r, d, d_out, n_out, blk.npar, nb_pad,
-                str(store_dt), str(acc_dt), npe,
-            )(out_buf, blk.U[0], Wdev, jnp.int32(b_lo), st_d, ct_d,
-              blk.reps_dev)
-            stats["emits"] = stats.get("emits", 0) + 1
-            fenced = (
-                not isinstance(out_buf, jax.core.Tracer)
-                and stats["emits"] % _emit_fence_every() == 0
-            )
-            if fenced:
-                float(out_buf[-1])
-            if verbose and fenced:
-                import sys
-                import time as _time
+            segs = []
+            cur, cur_npe = [], None
+            for g in groups:
+                _b, p0, c = g
+                npe_g = 4096
+                while npe_g < p0 + c:
+                    npe_g *= 2
+                npe_g = min(npe_g, blk.npar)
+                if cur and npe_g != cur_npe:
+                    segs.append((cur_npe, cur))
+                    cur = []
+                cur_npe = npe_g
+                cur.append(g)
+            if cur:
+                segs.append((cur_npe, cur))
+            for npe, seg_groups in segs:
+                nbp = 4
+                while nbp < len(seg_groups):
+                    nbp *= 2
+                nbp = min(nbp, nb_pad)
+                sb_lo = seg_groups[0][0]
+                bs_s, st_s, ct_s = _group_descriptors(seg_groups, nbp)
+                out_buf = _fused_leaf_emit(
+                    r, d, d_out, n_out, blk.npar, nbp,
+                    str(store_dt), str(acc_dt), npe,
+                )(out_buf, blk.U[0], Wdev, jnp.int32(sb_lo), st_s, ct_s,
+                  blk.reps_dev)
+                stats["emits"] = stats.get("emits", 0) + 1
+                # out_buf is donated through; the dispatch allocates the
+                # (npe, wp) f32 product grid + position/value staging
+                fenced = thr.add(0, out_buf, transient=npe * nbp * 12)
+                if verbose and fenced:
+                    import sys
+                    import time as _time
 
-                print(
-                    f"[basis {_time.time()-stats['t0']:8.1f}s]   leaf emit "
-                    f"#{stats['emits']} nsel={nsel} npar={blk.nrows} "
-                    f"b_lo={b_lo} (fused)",
-                    file=sys.stderr,
-                    flush=True,
-                )
+                    print(
+                        f"[basis {_time.time()-stats['t0']:8.1f}s]   "
+                        f"leaf emit #{stats['emits']} nsel={nsel} "
+                        f"npar={blk.nrows} b_lo={sb_lo} (fused)",
+                        file=sys.stderr,
+                        flush=True,
+                    )
             return
+        bs_d, st_d, ct_d = _group_descriptors(groups, nb_pad)
         child_U = kern(
             blk.U, tbl_arg, Wdev, b_lo, bs_d, st_d, ct_d
         )  # flattened (nsel_pad · n_k_child,)
+        thr.add(
+            int(child_U.size) * child_U.dtype.itemsize, child_U,
+            transient=ws_est,
+        )
         if child_level == r:
             ensure_reps_dev(blk)
             bucket = min(_bucket(nsel), nsel_pad)
             out_buf = _emit_kernel2(
                 r, d_out, n_out, bucket, str(store_dt)
             )(out_buf, child_U[:bucket], blk.reps_dev, bs_d, st_d, ct_d)
-            # Throttle: dispatch is fully asynchronous, so without a fence
-            # the host enqueues entire sub-trees and every pending block
-            # buffer stays allocated (observed OOM at flagship size).  A
-            # scalar readback is the only reliable fence through the axon
-            # tunnel (CLAUDE.md); forcing the newest emit drains the whole
-            # dependency chain behind it.  UNLIKE the fused path, every
-            # queued unfused emit holds its bucket-sized child_U step
-            # output alive, so this path keeps the TIGHT cadence.
+            # each queued unfused emit holds its bucket-sized child_U step
+            # output alive plus position staging; the throttle bounds the
+            # queue (observed OOM at flagship size without fencing)
             stats["emits"] = stats.get("emits", 0) + 1
-            fenced = (
-                not isinstance(out_buf, jax.core.Tracer)
-                and stats["emits"] % _fence_every() == 0
-            )
-            if fenced:
-                float(out_buf[-1])
+            fenced = thr.add(bucket * 8, out_buf)
             if verbose and fenced:
                 import sys
                 import time as _time
@@ -1054,9 +1101,6 @@ def basis_change_packed(
                     flush=True,
                 )
             return
-        # optional per-chunk fence (diagnoses tunnel-side buffer pileup)
-        if not isinstance(child_U, jax.core.Tracer) and _fence_every() == 1:
-            float(child_U[0])
         # host bookkeeping for the child block (cheap; device never sees it)
         sel_par = np.concatenate(
             [np.arange(p0, p0 + c, dtype=np.int64) for _, p0, c in groups]
@@ -1075,6 +1119,9 @@ def basis_change_packed(
 
     verbose = os.environ.get("SYMTENSOR_BASIS_VERBOSE", "") not in ("", "0")
     stats = {"chunks": 0, "t0": None}
+    thr = _InflightThrottle()
+    global _LAST_THROTTLE
+    _LAST_THROTTLE = thr  # introspection (schedule_sim, tests)
     if verbose:
         import sys
         import time as _time
@@ -1184,43 +1231,37 @@ def basis_change_packed(
                 b_hi = min(b_lo + Rc, d_out)
                 if win_rng and not (win_rng[0] <= b_lo < win_rng[1]):
                     continue
+                root_ws = 4 * transient_elems  # per-piece gather transient
+                isz = jnp.dtype(store_dt).itemsize
                 if len(chunks) == 1:
                     child_U = rks[0](
                         tuple(groups_dev), Wdev, jnp.int32(b_lo), *IH_J
                     )
+                    thr.add(Rc * n_k * isz, child_U, transient=root_ws)
                 else:
                     child_U = jnp.zeros((Rc * n_k,), dtype=store_dt)
                     col = 0
-                    pf = _piece_fence_every()
-                    for i_c, (rk_c, nc, (c0, _c1)) in enumerate(
-                        zip(rks, ccols, chunks)
-                    ):
+                    for rk_c, nc, (c0, _c1) in zip(rks, ccols, chunks):
                         piece = rk_c(
                             tuple(groups_dev[c0:]), Wdev,
                             jnp.int32(b_lo), *IH_J
                         )
+                        thr.add(Rc * nc * isz, piece, transient=root_ws)
                         child_U = root_dus(Rc, n_k, nc, str(store_dt))(
                             child_U, piece, col
                         )
                         col += nc
-                        # fence every pf-th piece: async dispatch would
-                        # otherwise queue every chunk's gather workspace
-                        # at once (see _piece_fence_every)
-                        if (
-                            i_c % pf == pf - 1
-                            and not isinstance(child_U, jax.core.Tracer)
-                        ):
-                            float(child_U[0])
-                # fence each window: async dispatch would queue every
-                # window's gather workspace at once
-                if not isinstance(child_U, jax.core.Tracer):
-                    float(child_U[0])
-                    if b_hi >= d_out:
-                        # last window fenced: the group blocks are dead —
-                        # free them BEFORE the final subtree's recursion
-                        for gb in groups_dev:
-                            jnp.asarray(gb).delete()
-                        groups_dev.clear()
+                    thr.add(Rc * n_k * isz, child_U)
+                if b_hi >= d_out and not isinstance(
+                    child_U, jax.core.Tracer
+                ):
+                    # last window: fence, then free the group blocks
+                    # BEFORE the final subtree's recursion (.delete() is
+                    # immediate, so consumers must have finished)
+                    thr.drain() or float(child_U[0])
+                    for gb in groups_dev:
+                        jnp.asarray(gb).delete()
+                    groups_dev.clear()
                 if verbose:
                     import sys
                     import time as _time
@@ -1290,15 +1331,16 @@ def basis_change_packed(
             ccols = [chunk_cols(k, d, c0, c1) for c0, c1 in chunks_g]
             IH_J = root_tables_jnp(k, d)
             width = blk.width
+            isz = jnp.dtype(store_dt).itemsize
+            root_ws = 4 * transient_elems
             for p in range(blk.nrows):
                 m_p = int(blk.maxels[p])
                 row = blk.U[0][p * width : (p + 1) * width]
                 groups_dev = split_root_groups(row, k, d)
-                if not isinstance(groups_dev[-1], jax.core.Tracer):
-                    # the sliced row copy is dead once split; fence the
-                    # split chain, then free it
-                    float(groups_dev[-1][0, 0])
-                    jnp.asarray(row).delete()
+                # the split costs ~2 row copies; the sliced row itself is
+                # dead once split — dropping the reference frees it as
+                # the stream catches up (the throttle bounds the backlog)
+                thr.add(2 * width * isz, groups_dev[-1])
                 del row
                 for b_lo in range(m_p, d_out, w):
                     b_hi = min(b_lo + w, d_out)
@@ -1306,36 +1348,28 @@ def basis_change_packed(
                         child_U = rks[0](
                             tuple(groups_dev), Wdev, jnp.int32(b_lo), *IH_J
                         )
+                        thr.add(w * n_k * isz, child_U, transient=root_ws)
                     else:
                         child_U = jnp.zeros((w * n_k,), dtype=store_dt)
                         col = 0
-                        pf = _piece_fence_every()
-                        for i_c, (rk_c, nc, (c0, _c1)) in enumerate(
-                            zip(rks, ccols, chunks_g)
+                        for rk_c, nc, (c0, _c1) in zip(
+                            rks, ccols, chunks_g
                         ):
                             piece = rk_c(
                                 tuple(groups_dev[c0:]), Wdev,
                                 jnp.int32(b_lo), *IH_J
                             )
+                            thr.add(w * nc * isz, piece, transient=root_ws)
                             child_U = root_dus(w, n_k, nc, str(store_dt))(
                                 child_U, piece, col
                             )
                             col += nc
-                            # fence every pf-th piece (see
-                            # _piece_fence_every)
-                            if (
-                                i_c % pf == pf - 1
-                                and not isinstance(child_U, jax.core.Tracer)
-                            ):
-                                float(child_U[0])
-                    if not isinstance(child_U, jax.core.Tracer):
-                        float(child_U[0])
-                        if b_hi >= d_out:
-                            # last window of this row: its group blocks
-                            # are dead — free BEFORE the subtree recurses
-                            for gb in groups_dev:
-                                jnp.asarray(gb).delete()
-                            groups_dev.clear()
+                        thr.add(w * n_k * isz, child_U)
+                    if b_hi >= d_out:
+                        # last window of this row: its group blocks are
+                        # dead — drop the references (freed once the
+                        # queued windows finish; no fence needed)
+                        groups_dev = []
                     if verbose:
                         import sys
                         import time as _time
@@ -1457,7 +1491,10 @@ def basis_change_packed(
                 -(-ht_elems // fan_elems),
             )
             if fused_here:
-                return None, None  # run_chunk takes the fused-emit path
+                return None, None, 0  # run_chunk takes the fused-emit path
+            # per-dispatch workspace estimate for the throttle: one
+            # segment's gather + product + staging, in acc bytes
+            ws_est = 4 * seg * cost
             if nwin_req > 1 and n_k > 1:
                 tbl_arg = insert_map_host(k, onthefly)
                 nwin = nwin_req
@@ -1474,6 +1511,7 @@ def basis_change_packed(
                     )
                     for c0, c1 in bounds
                 ]
+                isz = jnp.dtype(store_dt).itemsize
 
                 def kern(rows_pieces, tbl_host, Wm, b_lo, bs, st_, ct_,
                          _bounds=tuple(bounds), _kerns=tuple(kerns)):
@@ -1485,28 +1523,30 @@ def basis_change_packed(
                                 tbl_host[c0 * k : c1 * k] if onthefly
                                 else tbl_host[c0:c1]
                             )
+                            thr.add(int(_win_tbls[key].nbytes))
                         w_out = kw(
                             rows_pieces, _win_tbls[key], Wm, b_lo, bs,
                             st_, ct_
                         )
-                        # ALWAYS fence between windows: async dispatch
-                        # would otherwise allocate every window's output
-                        # + kernel workspace at once (~2 GB extra at the
-                        # rank-6 root — observed OOM), for a ~31 ms
-                        # readback each
-                        if not isinstance(w_out, jax.core.Tracer):
-                            float(w_out[0])
+                        # window output + workspace queue up (the old
+                        # per-window mandatory fence cost a tunnel
+                        # round-trip EACH — ~956 of them at the rank-6
+                        # flagship); the throttle bounds the backlog
+                        thr.add(
+                            Rc * (c1 - c0) * isz, w_out,
+                            transient=ws_est,
+                        )
                         buf = _dus_combine(
                             Rc, n_k, c1 - c0, str(store_dt)
                         )(buf, w_out, jnp.int32(c0))
                     return buf
 
-                return kern, tbl_arg
+                return kern, tbl_arg, 0  # windows self-account above
             tbl_arg, _ = insert_map(k)
             return _step_kernel(
                 blk.npar, piece_lens, n_k, d, k, wp, Rc, seg,
                 str(store_dt), str(acc_dt), onthefly, mesh_axis,
-            ), tbl_arg
+            ), tbl_arg, ws_est
 
         # parents available per new max element b (prefix property)
         counts = np.searchsorted(
@@ -1529,12 +1569,12 @@ def basis_change_packed(
                 if c > Rc and nsel == 0:
                     # one b-group exceeds the row budget: emit it in
                     # parent-prefix pieces (window of width 1)
-                    kern1, tbl1 = get_kern(4)
+                    kern1, tbl1, ws1 = get_kern(4)
                     for p0 in range(0, c, Rc):
                         p1 = min(p0 + Rc, c)
                         run_chunk(
                             t, blk, kern1, tbl1, b,
-                            [(b, p0, p1 - p0)], Rc, 4,
+                            [(b, p0, p1 - p0)], Rc, 4, ws1,
                         )
                     b += 1
                     b_lo = b
@@ -1546,14 +1586,8 @@ def basis_change_packed(
                 b += 1
             if nsel:
                 wpb = _bucket_w(b - b_lo)
-                kernb, tblb = get_kern(wpb)
-                run_chunk(t, blk, kernb, tblb, b_lo, groups, Rc, wpb)
-        if child_level == r and not isinstance(out_buf, jax.core.Tracer):
-            # drain the block's queued emits ONCE before the recursion
-            # returns and the next subtree's step kernels allocate their
-            # (big, distinct) child buffers — per-emit fencing exposed
-            # ~0.4 s tunnel latency each (see _emit_fence_every)
-            float(out_buf[-1])
+                kernb, tblb, wsb = get_kern(wpb)
+                run_chunk(t, blk, kernb, tblb, b_lo, groups, Rc, wpb, wsb)
 
     # Split the root leaf into pieces under the gather-operand byte limit
     # (oversized gather sources crash the TPU worker); a single piece means
