@@ -213,6 +213,64 @@ _DUMP_SLOTS = 4096
 
 
 @lru_cache(maxsize=None)
+def _emit_kernel2_sharded(r, d_out, n_out, nsel_pad, store_dt, mesh,
+                          axis, base):
+    """Leaf emit into a tp-SHARDED output buffer.
+
+    The single-device emit scatters into the whole packed output, which
+    under a mesh left C replicated on every device (round-5 finding:
+    PartitionSpec() on the result) — breaking the memory-scaling story
+    ("2 chips hold A/2 + C/2", docs/benchmarks.md).  Here the output
+    lives as ndev shards of `base` data slots + _DUMP_SLOTS dump slots
+    each; positions and values are computed replicated (cheap — one
+    leaf chunk at a time), and each device scatters only the positions
+    it owns (pos // base == its index), dumping the rest locally.
+    Per-device output residency: n_out/ndev + dump."""
+    from jax.sharding import PartitionSpec
+
+    t_out = tables(r, d_out)
+
+    def kern(out, vals, reps_flat, bs, starts, counts):
+        par, b, valid = _expand_groups(bs, starts, counts, nsel_pad)
+        nrows = reps_flat.shape[0] // (r - 1)
+        par = jnp.minimum(par, nrows - 1)
+        cols = [
+            reps_flat[j * nrows + par].astype(jnp.int32)[None, :]
+            for j in range(r - 1)
+        ]
+        rep_T = jnp.concatenate(
+            cols + [b[None, :].astype(jnp.int32)], axis=0
+        )
+        pos = t_out.position_jnp_T(rep_T)
+        s = jnp.arange(nsel_pad, dtype=jnp.int32)
+        v = vals[:nsel_pad].astype(out.dtype)
+
+        def body(out_sh, pos_a, valid_a, v_a):
+            me = jax.lax.axis_index(axis)
+            dev = pos_a // base
+            loc = pos_a % base
+            m = valid_a & (dev == me)
+            locpos = jnp.where(m, loc, base + (s % _DUMP_SLOTS))
+            return out_sh.at[0, locpos].set(v_a, unique_indices=False)
+
+        out2 = out.reshape(mesh.shape[axis], base + _DUMP_SLOTS)
+        res = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(axis, None),
+                PartitionSpec(),
+                PartitionSpec(),
+                PartitionSpec(),
+            ),
+            out_specs=PartitionSpec(axis, None),
+        )(out2, pos, valid, v)
+        return res.reshape(-1)
+
+    return jax.jit(kern, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
 def _fused_leaf_emit(r, d, d_out, n_out, npar, w_pad, store_dt, acc_dt,
                      npar_eff=None):
     """Fused k = 0 step + leaf emit: one GEMM, per-PARENT base positions,
@@ -904,8 +962,24 @@ def basis_change_packed(
             "int32 position range of the device-side emit; split W's "
             "columns into windows and concatenate the results"
         )
-    # output buffer with wrap-around dump slots for padded emit rows
-    out_buf = jnp.zeros((n_out + _DUMP_SLOTS,), dtype=store_dt)
+    # output buffer with wrap-around dump slots for padded emit rows; under
+    # a mesh it lives SHARDED over tp as ndev shards of (base + dump)
+    # slots each — per-device residency n_out/ndev, see
+    # _emit_kernel2_sharded (the single-device layout left C replicated)
+    if mesh is not None:
+        from jax.sharding import NamedSharding as _NSo, PartitionSpec as _Po
+
+        _ndev_out = mesh.shape[tp_axis]
+        out_base = -(-n_out // _ndev_out)
+        out_buf = jax.device_put(
+            jnp.zeros(
+                (_ndev_out * (out_base + _DUMP_SLOTS),), dtype=store_dt
+            ),
+            _NSo(mesh, _Po(tp_axis)),
+        )
+    else:
+        out_base = None
+        out_buf = jnp.zeros((n_out + _DUMP_SLOTS,), dtype=store_dt)
 
     # insert maps per k: materialized gather map when small, otherwise the
     # (n_k, k) representative table + closed-form ranking in-kernel
@@ -1081,9 +1155,16 @@ def basis_change_packed(
         if child_level == r:
             ensure_reps_dev(blk)
             bucket = min(_bucket(nsel), nsel_pad)
-            out_buf = _emit_kernel2(
-                r, d_out, n_out, bucket, str(store_dt)
-            )(out_buf, child_U[:bucket], blk.reps_dev, bs_d, st_d, ct_d)
+            if mesh is not None:
+                ek = _emit_kernel2_sharded(
+                    r, d_out, n_out, bucket, str(store_dt), mesh,
+                    tp_axis, out_base,
+                )
+            else:
+                ek = _emit_kernel2(r, d_out, n_out, bucket, str(store_dt))
+            out_buf = ek(
+                out_buf, child_U[:bucket], blk.reps_dev, bs_d, st_d, ct_d
+            )
             # each queued unfused emit holds its bucket-sized child_U step
             # output alive plus position staging; the throttle bounds the
             # queue (observed OOM at flagship size without fencing)
@@ -1668,4 +1749,12 @@ def basis_change_packed(
         comb.indep_size(r, d),
     )
     process(0, root)
+    if mesh is not None:
+        # strip the per-shard dump slots; the result stays tp-sharded
+        out2 = out_buf.reshape(
+            mesh.shape[tp_axis], out_base + _DUMP_SLOTS
+        )[:, :out_base]
+        return FlatSymmetricTensor._raw(
+            r, d_out, out2.reshape(-1)[:n_out]
+        )
     return FlatSymmetricTensor._raw(r, d_out, out_buf[:n_out])
