@@ -88,8 +88,11 @@ class _InflightThrottle:
     __slots__ = ("budget", "every", "pending", "adds", "last", "fences")
 
     def __init__(self):
+        # Default sized against flagship HBM headroom: 3 GB of backlog on
+        # top of ~8 GB live blocks OOMed the rank-5 f32 second pass
+        # (2026-08-20); 1.5 GB completes both flagships.
         self.budget = _env_int(
-            "SYMTENSOR_BASIS_INFLIGHT_BYTES", 3_000_000_000
+            "SYMTENSOR_BASIS_INFLIGHT_BYTES", 1_500_000_000
         )
         self.every = (
             _fence_every()
@@ -503,19 +506,37 @@ def _step_kernel(npar, piece_lens, n_k, d, k, w_pad, nsel_pad, seg,
                     # gather of the locally resident positions, partial
                     # GEMM, psum of the (seg, wp) children — communication
                     # is output-sized (n_k·wp per window), never
-                    # root-sized, and no device ever holds the full root
+                    # root-sized, and no device ever holds the full root.
+                    # A local shard larger than the ~2 GB gather-operand
+                    # worker-crash threshold is gathered in masked PIECES
+                    # (same dodge as the single-device split-root path).
                     def shard_body(rows_shard, sl_a, Wc_a):
                         L = rows_shard.shape[0]
                         off = jax.lax.axis_index(axis) * L
                         loc = sl_a - off
-                        m = (loc >= 0) & (loc < L)
-                        Gp = jnp.where(
-                            m,
-                            rows_shard[jnp.clip(loc, 0, L - 1)].astype(
-                                mxu_dt
-                            ),
-                            jnp.zeros((), mxu_dt),
-                        )[None, :, :]
+                        gmax = _env_int(
+                            "SYMTENSOR_GATHER_MAX_BYTES",
+                            (1 << 31) - (1 << 27),
+                        )
+                        npc = max(
+                            1, -(-L * jnp.dtype(store_dt).itemsize // gmax)
+                        )
+                        Lp = -(-L // npc)
+                        Gp = jnp.zeros(sl_a.shape, mxu_dt)
+                        for p in range(npc):
+                            p0 = p * Lp
+                            p1 = min(p0 + Lp, L)
+                            piece = jax.lax.slice(rows_shard, (p0,), (p1,))
+                            lp = loc - p0
+                            mp = (lp >= 0) & (lp < p1 - p0)
+                            Gp = Gp + jnp.where(
+                                mp,
+                                piece[
+                                    jnp.clip(lp, 0, p1 - p0 - 1)
+                                ].astype(mxu_dt),
+                                jnp.zeros((), mxu_dt),
+                            )
+                        Gp = Gp[None, :, :]
                         Hp = jax.lax.dot_general(
                             Gp, Wc_a,
                             (((2,), (0,)), ((), ())),
@@ -1696,18 +1717,10 @@ def basis_change_packed(
         # _step_kernel shard_root); pad so the shards divide evenly.
         # Positions are < n by construction, so pads are never read.
         # The oversized-root split below cannot apply (pieces would break
-        # the shard layout), so the per-SHARD gather source must itself
-        # stay under the worker's ~2 GB gather-operand limit.
+        # the shard layout); a per-shard gather source above the worker's
+        # ~2 GB gather-operand limit is instead gathered in masked pieces
+        # INSIDE the shard body (_step_kernel shard_root).
         ndev_tp = mesh.shape[tp_axis]
-        if nbytes / ndev_tp > gmax:
-            raise ValueError(
-                f"sharded basis change: per-shard root gather source "
-                f"{nbytes / ndev_tp / 1e9:.2f} GB exceeds "
-                f"SYMTENSOR_GATHER_MAX_BYTES = {gmax / 1e9:.2f} GB "
-                f"(root {nbytes / 1e9:.2f} GB over {ndev_tp} '{tp_axis}' "
-                "devices); use more devices, bf16 storage, or the "
-                "single-device path (which splits the root into pieces)"
-            )
         nbytes = 0
         pad_root = (-root_vals.size) % ndev_tp
         if pad_root:
