@@ -106,11 +106,15 @@ class _InflightThrottle:
 
     def add(self, nbytes, out=None, transient=0) -> bool:
         """Record a dispatch allocating ~nbytes that stay live until
-        consumed (outputs, uploads) plus ~transient bytes of workspace
-        that the program frees when it finishes.  Executions run
-        serially, so transients never stack: they count against the
-        remaining headroom but do not accumulate.  Fences when over
-        budget; returns True when a drain actually happened."""
+        consumed (outputs, uploads).  `transient` (program workspace,
+        freed when the program finishes; executions are serial so
+        transients never stack) is accepted for the record but does NOT
+        gate the drain: counting it forced near-per-chunk fences for
+        kernels whose one-segment workspace alone approaches the budget
+        (rank-5: 29 fences where 12 suffice).  The caller's HBM margin
+        must instead reserve budget + max-transient (~1.6 GB at the
+        default segment cap).  Fences when pending exceeds the budget;
+        returns True when a drain actually happened."""
         self.pending += int(nbytes)
         self.adds += 1
         if out is not None and not isinstance(out, jax.core.Tracer):
@@ -119,7 +123,7 @@ class _InflightThrottle:
             if self.adds % self.every == 0:
                 return self.drain()
             return False
-        if self.pending + int(transient) >= self.budget:
+        if self.pending >= self.budget:
             return self.drain()
         return False
 
@@ -1574,9 +1578,12 @@ def basis_change_packed(
             mesh_axis = None if mesh is None else (mesh, tp_axis)
             # Window by table BYTES as well: the surviving rank-6 fault
             # correlate is the map-operand table size (every crash
-            # ≥450 MB, every pass ≤~60 MB).  Keep every per-program table
-            # under the budget.
-            max_tbl = _env_int("SYMTENSOR_BASIS_MAX_TBL_BYTES", 48_000_000)
+            # ≥450 MB; the bisection brackets the threshold near 2^28 ≈
+            # 268 MB).  80 MB (round 5, was 48) lets the 70.7 MB k=3
+            # d=100 insert table run monolithic — its 2-window split cost
+            # 862 extra window dispatches + 163 GB of piece/dus churn at
+            # the rank-6 flagship — while keeping a >3× crash margin.
+            max_tbl = _env_int("SYMTENSOR_BASIS_MAX_TBL_BYTES", 80_000_000)
             if onthefly:
                 it = 1 if d <= 127 else 2 if d <= 32767 else 4
                 tbl_bytes = n_k * k * it
@@ -1654,6 +1661,20 @@ def basis_change_packed(
         counts = np.searchsorted(
             blk.maxels, np.arange(d_out) + 1, side="left"
         )
+        # Cap the chunk row padding by this block's actual total fan-out
+        # (pow-2 bucketed so kernel variants stay bounded): deep blocks
+        # fill as little as ~10-20 % of the static R[t] budget (rank-6
+        # k=1: nsel_pad 16.7M for ~1.8M real children per block), which
+        # inflated step outputs ~3× in allocation AND in their
+        # nsel_pad-sized select/transpose device work.  Total ≤ Rc means
+        # one b-sweep still collects everything, so chunk count is
+        # unchanged.
+        total_children = int(np.sum(d_out - blk.maxels))
+        if 0 < total_children < Rc:
+            p2 = 4096
+            while p2 < total_children:
+                p2 *= 2
+            Rc = min(Rc, p2)
         wcap = step_wcap
 
         def _bucket_w(nw):
