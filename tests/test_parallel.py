@@ -107,6 +107,35 @@ def test_basis_change_sharded_matches(mesh, rng):
         np.testing.assert_allclose(
             np.asarray(got.data), np.asarray(want.data), atol=1e-12
         )
+        # round 5: the output stays tp-SHARDED (the old global-scatter
+        # emit left it replicated — A/2 + C/2 residency was fictional)
+        spec = got.data.sharding.spec
+        assert "tp" in str(spec), spec
+
+
+def test_basis_change_sharded_oversized_shard_gathers(mesh, rng):
+    """A per-shard root above SYMTENSOR_GATHER_MAX_BYTES is gathered in
+    masked pieces inside the shard body (round 5; was a hard error)."""
+    import os
+
+    from symtensor_tpu.ops.basis_change import basis_change_packed
+
+    rank, dim = 4, 6
+    n = st.utils.indep_size(rank, dim)
+    A = st.FlatSymmetricTensor(
+        rank=rank, dim=dim,
+        data=jnp.asarray(rng.normal(size=n), jnp.float64),
+    )
+    W = jnp.asarray(rng.normal(size=(dim, dim)))
+    want = basis_change_packed(A, W)
+    os.environ["SYMTENSOR_GATHER_MAX_BYTES"] = "64"  # force many pieces
+    try:
+        got = basis_change_packed(A, W, mesh=mesh, block_elems=500)
+    finally:
+        del os.environ["SYMTENSOR_GATHER_MAX_BYTES"]
+    np.testing.assert_allclose(
+        np.asarray(got.data), np.asarray(want.data), atol=1e-12
+    )
 
 
 def test_model_training_sharded(mesh, rng):

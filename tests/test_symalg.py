@@ -446,6 +446,43 @@ def test_basis_change_chunked_matches(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out.todense()), oracle, atol=1e-9)
 
 
+def test_basis_change_inflight_throttle(rng, monkeypatch):
+    """The round-5 dispatch throttle: tiny budget → many drains; huge
+    budget → none.  Results identical either way."""
+    from symtensor_tpu.ops import basis_change as bc
+
+    dense = random_sym(4, 8, rng)
+    A = st.FlatSymmetricTensor.from_dense(jnp.asarray(dense))
+    W = jnp.asarray(rng.normal(size=(8, 8)))
+
+    monkeypatch.setenv("SYMTENSOR_BASIS_INFLIGHT_BYTES", "1")
+    tight = bc.basis_change_packed(
+        A, W, block_elems=1024, transient_elems=2048
+    )
+    thr_tight = bc._LAST_THROTTLE
+    assert thr_tight.fences > 0
+    assert thr_tight.fences <= thr_tight.adds
+
+    monkeypatch.setenv("SYMTENSOR_BASIS_INFLIGHT_BYTES", str(1 << 60))
+    loose = bc.basis_change_packed(
+        A, W, block_elems=1024, transient_elems=2048
+    )
+    thr_loose = bc._LAST_THROTTLE
+    # ≤1: the root-kernel path keeps one unconditional fence before
+    # freeing the group blocks at its last window
+    assert thr_loose.fences <= 1
+    assert thr_loose.adds == thr_tight.adds  # same schedule
+    np.testing.assert_allclose(
+        np.asarray(tight.data), np.asarray(loose.data), atol=1e-9
+    )
+    # legacy attribution mode drains on a count cadence
+    monkeypatch.setenv("SYMTENSOR_BASIS_FENCE_EVERY", "2")
+    bc.basis_change_packed(A, W, block_elems=1024, transient_elems=2048)
+    thr_leg = bc._LAST_THROTTLE
+    assert thr_leg.every == 2
+    assert thr_leg.fences >= thr_leg.adds // 2 - 1
+
+
 @pytest.mark.parametrize("max_segs", [1, 2, 5])
 def test_basis_change_column_windowing(rng, max_segs, monkeypatch):
     """Host-level column windowing of long step kernels (the rank-6 t=0
