@@ -12,6 +12,13 @@ SYMTENSOR_BASIS_VERBOSE=1 timeout 5400 \
 echo "rank-5 exit: $? $(date)"
 grep -E "pass|identity|TFLOP" /tmp/flagship_r5/r5.log
 
+# Rank-6 HBM-headroom trims for the throttled schedule: 1.5 GB of
+# backlog on top of root groups + sharded blocks + output OOMed; these
+# settings complete (see run_flagships_r6only.sh for the bisection).
+export SYMTENSOR_BASIS_INFLIGHT_BYTES=1000000000
+export SYMTENSOR_FLAGSHIP_BLOCK_ELEMS=1800000000
+export SYMTENSOR_BASIS_SEG_HARD_ELEMS=250000000
+
 echo "=== rank-6 dim-100 (bf16, real fill + identity, 1 pass) $(date) ==="
 SYMTENSOR_BASIS_VERBOSE=1 timeout 14400 \
   python benchmarks/basis_change_flagship.py 6 100 \

@@ -1,14 +1,15 @@
 #!/bin/bash
 # Rank-6 legs only, with HBM-headroom trims for the throttled schedule:
-#  - backlog 1.0 GB (1.5 GB OOMed with root groups + output + blocks live)
-#  - block budget 1.8e9 elems (was 2.0e9)
-#  - segment workspace 250M elems (was 400M): transient 1.6 -> 1.0 GB
+#  - backlog 0.6 GB, blocks 1.4e9 elems, segment workspace 200M elems:
+#    1.0 GB/1.8e9/250M STILL OOMed ~1 h in (arena fragmentation under
+#    ~300 GB of varied-size churn eats ~1.5 GB of the 16 GB HBM);
+#    accounting now leaves ~2 GB of slack
 set -u
 mkdir -p /tmp/flagship_r5
 cd /root/repo
-export SYMTENSOR_BASIS_INFLIGHT_BYTES=1000000000
-export SYMTENSOR_FLAGSHIP_BLOCK_ELEMS=1800000000
-export SYMTENSOR_BASIS_SEG_HARD_ELEMS=250000000
+export SYMTENSOR_BASIS_INFLIGHT_BYTES=600000000
+export SYMTENSOR_FLAGSHIP_BLOCK_ELEMS=1400000000
+export SYMTENSOR_BASIS_SEG_HARD_ELEMS=200000000
 
 echo "=== rank-6 dim-100 (bf16, real fill + identity, 1 pass) $(date) ==="
 SYMTENSOR_BASIS_VERBOSE=1 timeout 14400 \

@@ -1141,6 +1141,35 @@ def basis_change_packed(
                 cur.append(g)
             if cur:
                 segs.append((cur_npe, cur))
+
+            # Merge adjacent staircase segments whose split saves little:
+            # every extra emit dispatch costs a tunnel round-trip share
+            # while the scatter floor is ~105 M slots/s, so a split must
+            # save ≥ SYMTENSOR_BASIS_EMIT_SPLIT_MIN padded slots (8M ≈
+            # 76 ms of scatter) to pay for itself.  Rank-5's staircase
+            # had split 10 emits into 52 to save only 1.4e8 slots.
+            def _slots(npe, ng):
+                nbp = 4
+                while nbp < ng:
+                    nbp *= 2
+                return npe * min(nbp, nb_pad)
+
+            split_min = _env_int(
+                "SYMTENSOR_BASIS_EMIT_SPLIT_MIN", 8_000_000
+            )
+            merged = [segs[0]]
+            for npe, g in segs[1:]:
+                pnpe, pg = merged[-1]
+                extra = (
+                    _slots(max(pnpe, npe), len(pg) + len(g))
+                    - _slots(pnpe, len(pg))
+                    - _slots(npe, len(g))
+                )
+                if extra <= split_min:
+                    merged[-1] = (max(pnpe, npe), pg + g)
+                else:
+                    merged.append((npe, g))
+            segs = merged
             for npe, seg_groups in segs:
                 nbp = 4
                 while nbp < len(seg_groups):
