@@ -34,11 +34,13 @@ import jax.numpy as jnp
 
 _BM = 128  # output elements per block
 # Per-table entry cap: one-hot selection costs ~n_src MXU MACs per gathered
-# element (the (H, BM) hi-matmul), so the crossover against XLA's ~7.7 ns
-# scalar gathers sits near n_src ≈ 1e5 at HIGHEST-precision f32 MXU rate;
-# 32768 (VMEM: 128 KB source + 128 KB one-hot per operand) keeps a ≥3×
-# margin while covering rank-3 tables up to dim ≈ 56.
-_MAX_SRC = 32768
+# element (the (H, BM) hi-matmul).  MEASURED crossover vs XLA's gathers
+# (round 5, benchmarks/gathermm_niche_tpu.py synthetic sweep, R=20,
+# n_out=2M, v5e): n_src 11 480 → 5.1×, 30 856 → 3.0×, 64 824 → 1.7×
+# faster; 131 072 → 0.89× (XLA wins).  Crossover ≈ 1.1e5; the cap sits
+# at 98 304 = one-hot still ≥ ~1.2× ahead, covering rank-3 tables to
+# dim ≈ 82 (d=72's 64 824 entries run 1.7× faster than XLA).
+_MAX_SRC = 98304
 _MAX_ROWS = 4096  # cap on gather rows per output element
 
 
