@@ -86,7 +86,13 @@ def test_fast_views_path_matches(rng):
     np.testing.assert_allclose(fast2, fast, rtol=0)
 
 
-def test_pallas_path_matches(rng):
+def test_pallas_path_matches():
+    # own deterministic rng: the rtol=2e-5 PER-VALUE comparison is
+    # data-dependent (a near-cancelling contraction fails it at any
+    # correct implementation), so this test must not share the session
+    # rng stream — adding tests elsewhere shifted the stream and
+    # surfaced exactly that (round-5 full-suite flake)
+    rng = np.random.default_rng(11)
     from symtensor_tpu.kernels.pallas_poly import poly_eval_flat_pallas
 
     for rank, dim in [(3, 5), (4, 4), (6, 3)]:
